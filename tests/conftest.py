@@ -1,0 +1,19 @@
+"""Test configuration: force CPU with a virtual 8-device mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests run on a
+virtual CPU mesh (xla_force_host_platform_device_count) as recommended for
+validating pjit/shard_map programs without real chips.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
