@@ -1,0 +1,177 @@
+"""FAST-9/16 corner detection as a dense vectorized op.
+
+TPU-native replacement for the per-30x30-cell cv::FAST calls in
+ORBextractor::ComputeKeyPointsOctTree (ref: src/ORBextractor.cc:765-853).
+Instead of scalar-looping over cells, the segment test runs on the whole
+level image at once on the VPU; the reference's threshold-fallback behavior
+(FAST(iniTh=20), retry FAST(minTh=7) in empty cells, ref :809-816) is
+reproduced by computing both corner maps densely and keeping low-threshold
+corners only in cells where the high threshold found nothing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3 — the 16 segment-test offsets (dy, dx),
+# standard FAST ordering starting at 12 o'clock going clockwise.
+CIRCLE = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+
+def _ring(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (16, H, W) of circle-neighbor values (zero-padded edges)."""
+    h, w = img.shape
+    pad = jnp.pad(img, 3, mode="edge")
+    taps = [pad[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for dy, dx in CIRCLE]
+    return jnp.stack(taps, 0)
+
+
+def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dense FAST-9 corner score map; 0 where not a corner.
+
+    Score matches OpenCV's definition: the largest threshold t for which the
+    pixel passes the segment test, i.e. max over the 16 contiguous 9-arcs of
+    (min over the arc of |diff|) computed separately for bright/dark arcs,
+    minus 1.
+    """
+    f = img.astype(jnp.float32)
+    ring = _ring(f)                      # (16, H, W)
+    diff = ring - f[None]                # neighbor minus center
+    # arc-min over every window of 9 consecutive ring positions (circular)
+    bright = -diff                       # corner-bright: center >> ring -> -diff > t
+    dark = diff                          # corner-dark: ring >> center -> diff > t
+
+    def arc_scores(d):
+        # d: (16, H, W); returns max over 16 arcs of (min over 9 positions)
+        best = None
+        for s in range(16):
+            idx = [(s + k) % 16 for k in range(9)]
+            m = d[idx[0]]
+            for i in idx[1:]:
+                m = jnp.minimum(m, d[i])
+            best = m if best is None else jnp.maximum(best, m)
+        return best
+
+    vb = arc_scores(bright)
+    vd = arc_scores(dark)
+    score = jnp.maximum(vb, vd) - 1.0    # OpenCV: max passing threshold
+    return jnp.where(score >= threshold, score, 0.0)
+
+
+def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-maximum suppression; keeps strict local maxima like cv::FAST.
+
+    OpenCV compares with > against already-suppressed neighbors in a raster
+    order; the practical equivalent here keeps a pixel iff it is >= all 8
+    neighbors and > the lexicographically-earlier ones — approximated by
+    requiring strictly greater than the max of left/up neighbors and >= max
+    of right/down, which resolves plateau ties deterministically.
+    """
+    h, w = score.shape
+    pad = jnp.pad(score, 1, mode="constant")
+
+    def shift(dy, dx):
+        return pad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    earlier = jnp.maximum(
+        jnp.maximum(shift(-1, -1), shift(-1, 0)),
+        jnp.maximum(shift(-1, 1), shift(0, -1)),
+    )
+    later = jnp.maximum(
+        jnp.maximum(shift(0, 1), shift(1, -1)),
+        jnp.maximum(shift(1, 0), shift(1, 1)),
+    )
+    keep = (score > earlier) & (score >= later) & (score > 0)
+    return jnp.where(keep, score, 0.0)
+
+
+def detect_with_fallback(
+    img: jnp.ndarray,
+    ini_threshold: float,
+    min_threshold: float,
+    border: int,
+    cell: int = 30,
+) -> jnp.ndarray:
+    """Dense detection with the reference's per-cell threshold fallback.
+
+    border: exclusion margin in pixels (ref uses EDGE_THRESHOLD-3 = 16).
+    Returns an NMS'd score map, zero outside [border, size-border).
+    """
+    hi = nms3x3(fast_score_map(img, ini_threshold))
+    lo = nms3x3(fast_score_map(img, min_threshold))
+
+    h, w = img.shape
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    valid = (
+        (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+    )
+    hi = jnp.where(valid, hi, 0.0)
+    lo = jnp.where(valid, lo, 0.0)
+
+    # per-cell "did the high threshold fire?" map, broadcast back to pixels
+    ch = -(-h // cell)
+    cw = -(-w // cell)
+    hi_pad = jnp.pad(hi, ((0, ch * cell - h), (0, cw * cell - w)))
+    cell_has_hi = (
+        hi_pad.reshape(ch, cell, cw, cell).max(axis=(1, 3)) > 0
+    )  # (ch, cw)
+    per_pixel_hi = jnp.repeat(
+        jnp.repeat(cell_has_hi, cell, axis=0), cell, axis=1
+    )[:h, :w]
+    return jnp.where(per_pixel_hi, hi, lo)
+
+
+def select_topk_grid(
+    score: jnp.ndarray,
+    n_keypoints: int,
+    cell: int,
+    per_cell: int = 4,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Spatially-uniform top-K selection over a score map.
+
+    TPU-native replacement for DistributeOctTree (ref: src/ORBextractor.cc:
+    539-763): instead of an iterative quadtree, take the best `per_cell`
+    responses in each fixed cell (spatial uniformity), then the global top
+    `n_keypoints` among those (budget).  Fixed shapes throughout.
+
+    Returns (xy (n,2) int32 as (x, y), response (n,), valid (n,) bool).
+    """
+    h, w = score.shape
+    ch = -(-h // cell)
+    cw = -(-w // cell)
+    pad = jnp.pad(score, ((0, ch * cell - h), (0, cw * cell - w)))
+    cells = pad.reshape(ch, cell, cw, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(ch * cw, cell * cell)      # (C, cell*cell)
+
+    cand_scores = []
+    cand_flat_idx = []
+    cur = cells
+    base_y = (jnp.arange(ch * cw) // cw) * cell
+    base_x = (jnp.arange(ch * cw) % cw) * cell
+    for _ in range(per_cell):
+        idx = jnp.argmax(cur, axis=1)                # (C,)
+        val = jnp.take_along_axis(cur, idx[:, None], axis=1)[:, 0]
+        dy = idx // cell
+        dx = idx % cell
+        cand_scores.append(val)
+        cand_flat_idx.append(jnp.stack([base_x + dx, base_y + dy], -1))
+        cur = cur.at[jnp.arange(ch * cw), idx].set(0.0)
+
+    scores = jnp.concatenate(cand_scores)            # (C*per_cell,)
+    xy = jnp.concatenate(cand_flat_idx)              # (C*per_cell, 2)
+
+    k = min(n_keypoints, scores.shape[0])
+    top_val, top_idx = jax.lax.top_k(scores, k)
+    top_xy = xy[top_idx]
+    valid = top_val > 0.0
+    if k < n_keypoints:
+        padn = n_keypoints - k
+        top_val = jnp.concatenate([top_val, jnp.zeros(padn, top_val.dtype)])
+        top_xy = jnp.concatenate([top_xy, jnp.zeros((padn, 2), top_xy.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(padn, bool)])
+    return top_xy.astype(jnp.int32), top_val, valid
