@@ -12,6 +12,13 @@ reference analysis this build follows.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry and normal-equation solves need genuine f32 accumulation; the
+# TPU default of bf16-input matmuls destroys Schur-complement conditioning.
+# SLAM's FLOPs are dominated by elementwise vision ops, so this is cheap.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from orb_slam2_tpu.config import Settings, Sensor  # noqa: F401
 
 __all__ = ["Settings", "Sensor", "__version__"]

@@ -30,24 +30,33 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues: (...,3) axis-angle -> (...,3,3) rotation."""
+    """Rodrigues: (...,3) axis-angle -> (...,3,3) rotation.
+
+    All small-angle branches use the double-where pattern (substitute a
+    safe denominator BEFORE dividing) so autodiff through theta = 0 stays
+    NaN-free — required by the pose-graph Jacobians.
+    """
     theta2 = jnp.sum(w * w, -1, keepdims=True)[..., None]
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    near = theta2 < _EPS
+    theta2_safe = jnp.where(near, 1.0, theta2)
+    theta = jnp.sqrt(jnp.where(near, 1.0, theta2))
     W = hat(w)
     W2 = W @ W
-    # Taylor-safe coefficients sin(t)/t and (1-cos t)/t^2
-    a = jnp.sin(theta) / theta
-    b = (1.0 - jnp.cos(theta)) / theta2.clip(_EPS * _EPS)
-    b = jnp.where(theta2 < _EPS, 0.5 * jnp.ones_like(b), b)
+    a = jnp.where(near, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(near, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a * W + b * W2
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """(...,3,3) rotation -> (...,3) axis-angle."""
+    """(...,3,3) rotation -> (...,3) axis-angle.
+
+    theta via atan2 (differentiable at identity, unlike arccos) and the
+    double-where pattern on the sin division.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w_skew = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -56,12 +65,15 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         ],
         -1,
     )
-    sin_t = jnp.sin(theta)
-    # theta/(2 sin theta), series-expanded near 0
+    skew2 = jnp.sum(w_skew * w_skew, -1)
+    sin_t = 0.5 * jnp.sqrt(skew2 + _EPS * _EPS)
+    theta = jnp.arctan2(sin_t, cos_t)
+    small = sin_t < 1e-5
+    sin_safe = jnp.where(small, 1.0, sin_t)
     scale = jnp.where(
-        jnp.abs(sin_t) > 1e-5,
-        theta / (2.0 * sin_t + _EPS),
+        small,
         0.5 + theta * theta / 12.0,
+        theta / (2.0 * sin_safe),
     )
     w = scale[..., None] * w_skew
     # near theta = pi the skew part vanishes; recover axis from diagonal
@@ -82,28 +94,32 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def _left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
-    """SO(3) left Jacobian J(w): (...,3) -> (...,3,3)."""
+    """SO(3) left Jacobian J(w): (...,3) -> (...,3,3).  NaN-safe autodiff."""
     theta2 = jnp.sum(w * w, -1, keepdims=True)[..., None]
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    near = theta2 < _EPS
+    theta2_safe = jnp.where(near, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = hat(w)
     W2 = W @ W
-    b = (1.0 - jnp.cos(theta)) / theta2.clip(_EPS * _EPS)
-    b = jnp.where(theta2 < _EPS, 0.5 * jnp.ones_like(b), b)
-    c = (theta - jnp.sin(theta)) / (theta2 * theta).clip(_EPS * _EPS * _EPS)
-    c = jnp.where(theta2 < _EPS, jnp.ones_like(c) / 6.0, c)
+    b = jnp.where(near, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
+    c = jnp.where(near, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta - jnp.sin(theta)) / (theta2_safe * theta))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + b * W + c * W2
 
 
 def _left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, -1, keepdims=True)[..., None]
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    near = theta2 < _EPS
+    theta2_safe = jnp.where(near, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = hat(w)
     W2 = W @ W
     half_t = 0.5 * theta
-    cot = jnp.cos(half_t) / jnp.sin(half_t).clip(_EPS)
-    k = (1.0 - half_t * cot) / theta2.clip(_EPS * _EPS)
-    k = jnp.where(theta2 < _EPS, jnp.ones_like(k) / 12.0, k)
+    cot = jnp.cos(half_t) / jnp.maximum(jnp.sin(half_t), _EPS)
+    k = jnp.where(near, 1.0 / 12.0 + theta2 / 720.0,
+                  (1.0 - half_t * cot) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye - 0.5 * W + k * W2
 

@@ -73,7 +73,6 @@ def exp(xi: jnp.ndarray):
     s = jnp.exp(sigma)
     R = se3.exp_so3(w)
     theta2 = jnp.sum(w * w, -1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     W = se3.hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
@@ -81,30 +80,37 @@ def exp(xi: jnp.ndarray):
     sig = sigma
     s_ = s
     near_sig = jnp.abs(sig) < 1e-5
-    near_th = theta < 1e-5
+    near_th = theta2 < 1e-10
 
-    # coefficients A, B, C of V = A*I + B*W + C*W^2  (Strasdat thesis eq. 5.x)
-    C = jnp.where(near_sig, jnp.ones_like(sig), (s_ - 1.0) / jnp.where(near_sig, 1.0, sig))
+    # double-where: substitute safe values BEFORE any division so autodiff
+    # through theta = 0 / sigma = 0 stays NaN-free.
+    sig_safe = jnp.where(near_sig, 1.0, sig)
+    theta2_safe = jnp.where(near_th, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+
+    # coefficients A, B, C of V = C*I + A*W + B*W^2 (Strasdat's Sim3 exp)
+    C = jnp.where(near_sig, 1.0 + 0.5 * sig, (s_ - 1.0) / sig_safe)
 
     a = s_ * jnp.sin(theta)
     b = s_ * jnp.cos(theta)
-    t2s2 = theta2 + sig * sig
+    t2s2 = theta2_safe + sig * sig
     safe_t2s2 = jnp.where(t2s2 < _EPS, 1.0, t2s2)
 
     A_gen = (a * sig + (1.0 - b) * theta) / (theta * safe_t2s2)
-    B_gen = (C - ((b - 1.0) * sig + a * theta) / safe_t2s2) / jnp.where(near_th, 1.0, theta2)
+    B_gen = (C - ((b - 1.0) * sig + a * theta) / safe_t2s2) / theta2_safe
 
     # sigma -> 0 limits
-    A_sig0 = (1.0 - jnp.cos(theta)) / jnp.where(near_th, 1.0, theta2)
-    B_sig0 = (theta - jnp.sin(theta)) / jnp.where(near_th, 1.0, theta2 * theta)
+    A_sig0 = (1.0 - jnp.cos(theta)) / theta2_safe
+    B_sig0 = (theta - jnp.sin(theta)) / (theta2_safe * theta)
     # theta -> 0 limits
     A_th0 = jnp.where(
-        near_sig, 0.5 * jnp.ones_like(sig),
-        ((sig - 1.0) * s_ + 1.0) / jnp.where(near_sig, 1.0, sig * sig),
+        near_sig, 0.5 + sig / 3.0,
+        ((sig - 1.0) * s_ + 1.0) / (sig_safe * sig_safe),
     )
     B_th0 = jnp.where(
-        near_sig, jnp.ones_like(sig) / 6.0,
-        (s_ * (0.5 * sig * sig - sig + 1.0) - 1.0) / jnp.where(near_sig, 1.0, sig * sig * sig),
+        near_sig, 1.0 / 6.0 + sig / 8.0,
+        (s_ * (0.5 * sig * sig - sig + 1.0) - 1.0)
+        / (sig_safe * sig_safe * sig_safe),
     )
 
     A = jnp.where(near_th, A_th0, jnp.where(near_sig, A_sig0, A_gen))
