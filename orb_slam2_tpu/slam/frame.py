@@ -1,0 +1,175 @@
+"""Frame construction: device feature extraction + per-sensor association.
+
+Host-side equivalent of the three Frame constructors
+(ref: src/Frame.cc:61-228): run the fused ORB frontend on device,
+undistort keypoints, stereo-match or associate RGB-D depth, and land a
+fixed-shape FrameFeatures block plus per-frame tracking state.  The
+reference's 64x48 feature grid (src/Frame.cc:230) is unnecessary here:
+window membership tests happen inside the batched matchers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_tpu.config import Settings
+from orb_slam2_tpu.geometry import camera as cam
+from orb_slam2_tpu.ops import frontend, stereo
+from orb_slam2_tpu.slam.map_store import FrameFeatures
+
+
+@dataclass
+class Frame:
+    """Per-frame tracking state (ref: include/Frame.h:43)."""
+
+    frame_id: int
+    timestamp: float
+    feats: FrameFeatures
+    Tcw: Optional[np.ndarray] = None          # (4,4) f32; None = untracked
+    bindings: np.ndarray = None               # (N,) i64 map-point id or -1
+    outlier: np.ndarray = None                # (N,) bool pose-opt outliers
+    ref_kf: int = -1
+
+    def __post_init__(self):
+        n = self.feats.n
+        if self.bindings is None:
+            self.bindings = np.full(n, -1, np.int64)
+        if self.outlier is None:
+            self.outlier = np.zeros(n, bool)
+
+    @property
+    def n_feat(self) -> int:
+        return self.feats.n
+
+    def camera_center(self) -> np.ndarray:
+        T = self.Tcw
+        return -T[:3, :3].T @ T[:3, 3]
+
+
+class FrameBuilder:
+    """Builds Frames for a given Settings (one compiled pipeline per
+    image shape x config)."""
+
+    def __init__(self, settings: Settings, vocabulary=None):
+        self.s = settings
+        self.vocabulary = vocabulary
+        self.intr = cam.Intrinsics(
+            jnp.float32(settings.fx), jnp.float32(settings.fy),
+            jnp.float32(settings.cx), jnp.float32(settings.cy),
+        )
+        self.dist = (
+            jnp.asarray(settings.dist_coeffs, jnp.float32)
+            if settings.has_distortion else None
+        )
+        self.bounds = cam.compute_image_bounds(
+            settings.width, settings.height, self.intr,
+            settings.dist_coeffs if settings.has_distortion else None,
+        )
+        self.scale_factors = settings.scale_factors().astype(np.float32)
+        self.level_sigma2 = settings.level_sigma2().astype(np.float32)
+        self._next_id = 0
+        # EuRoC-style rectification maps (ref: stereo_euroc.cc:97-137)
+        self._rect = None
+        if settings.rectification is not None:
+            self._rect = cam.rectify_maps(settings.rectification)
+
+    def _extract(self, img: np.ndarray, n_features: int):
+        return frontend.extract(
+            jnp.asarray(img),
+            n_features=n_features,
+            n_levels=self.s.n_levels,
+            scale_factor=self.s.scale_factor,
+            ini_th=self.s.ini_th_fast,
+            min_th=self.s.min_th_fast,
+        )
+
+    def _base_features(self, feats, n: int) -> FrameFeatures:
+        xy_raw = np.asarray(feats.xy)
+        if self.dist is not None:
+            xy = np.asarray(
+                cam.undistort_points(feats.xy, self.intr, self.dist)
+            )
+        else:
+            xy = xy_raw
+        return FrameFeatures(
+            xy=xy.astype(np.float32),
+            xy_raw=xy_raw.astype(np.float32),
+            ur=np.full(n, -1.0, np.float32),
+            depth=np.full(n, -1.0, np.float32),
+            octave=np.asarray(feats.octave, np.int32),
+            angle=np.asarray(feats.angle, np.float32),
+            desc=np.asarray(feats.desc, np.uint32),
+            valid=np.asarray(feats.valid, bool),
+            node=np.full(n, -1, np.int32),
+            word=np.full(n, -1, np.int32),
+        )
+
+    def _assign_bow(self, ff: FrameFeatures):
+        if self.vocabulary is not None:
+            node, word = self.vocabulary.assign_nodes(ff.desc, ff.valid)
+            ff.node[:] = node
+            ff.word[:] = word
+
+    def _make(self, ff: FrameFeatures, timestamp: float) -> Frame:
+        fid = self._next_id
+        self._next_id += 1
+        return Frame(frame_id=fid, timestamp=timestamp, feats=ff)
+
+    # ------------------------------------------------------------------
+    def monocular(self, img: np.ndarray, timestamp: float,
+                  init_boost: bool = False) -> Frame:
+        """ref: Frame mono ctor (src/Frame.cc:174-228); the initializer
+        doubles the feature budget (ref: src/Tracking.cc:121-126)."""
+        n_features = self.s.n_features * (2 if init_boost else 1)
+        feats = self._extract(img, n_features)
+        ff = self._base_features(feats, feats.n)
+        self._assign_bow(ff)
+        return self._make(ff, timestamp)
+
+    def stereo_pair(self, img_l: np.ndarray, img_r: np.ndarray,
+                    timestamp: float) -> Frame:
+        """ref: Frame stereo ctor (src/Frame.cc:61-117) — the reference
+        spawns two extraction threads; here both images run back-to-back
+        on the same chip (still one compiled kernel each)."""
+        if self._rect is not None:
+            (mxl, myl), (mxr, myr) = self._rect
+            img_l = np.asarray(cam.remap_bilinear(
+                jnp.asarray(img_l), jnp.asarray(mxl), jnp.asarray(myl)))
+            img_r = np.asarray(cam.remap_bilinear(
+                jnp.asarray(img_r), jnp.asarray(mxr), jnp.asarray(myr)))
+        fl = self._extract(img_l, self.s.n_features)
+        fr = self._extract(img_r, self.s.n_features)
+        matches = stereo.match(
+            fl.xy, fl.octave, fl.desc, fl.valid,
+            fr.xy, fr.octave, fr.desc, fr.valid,
+            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+            jnp.asarray(self.scale_factors),
+            self.s.bf, 0.0, self.s.bf / 2.0,
+        )
+        matches = stereo.median_sad_filter(matches)
+        ff = self._base_features(fl, fl.n)
+        ff.ur = np.asarray(matches.u_right, np.float32)
+        ff.depth = np.asarray(matches.depth, np.float32)
+        self._assign_bow(ff)
+        return self._make(ff, timestamp)
+
+    def rgbd(self, img: np.ndarray, depth_img: np.ndarray,
+             timestamp: float) -> Frame:
+        """ref: Frame RGB-D ctor (src/Frame.cc:119-171)."""
+        feats = self._extract(img, self.s.n_features)
+        factor = self.s.depth_map_factor
+        if abs(factor - 1.0) > 1e-9 and factor != 0:
+            factor = 1.0 / factor
+        ur, depth = stereo.depth_from_rgbd(
+            feats.xy, feats.valid, jnp.asarray(depth_img, jnp.float32),
+            factor, self.s.bf,
+        )
+        ff = self._base_features(feats, feats.n)
+        ff.ur = np.asarray(ur, np.float32)
+        ff.depth = np.asarray(depth, np.float32)
+        self._assign_bow(ff)
+        return self._make(ff, timestamp)

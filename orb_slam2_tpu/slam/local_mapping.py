@@ -1,0 +1,499 @@
+"""Local mapping: keyframe processing, triangulation, fusion, local BA.
+
+Host-side equivalent of LocalMapping (ref: src/LocalMapping.cc, 760 LoC).
+The reference runs this as a thread polling a keyframe queue; here the
+pipeline scheduler invokes `process_one` either synchronously after each
+keyframe insertion (deterministic mode, SURVEY §4.4) or from a worker
+thread (async mode).  All geometry (epipolar matching, triangulation
+gates, fuse projection, Schur-complement BA) is batched on device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_tpu.config import Sensor, Settings
+from orb_slam2_tpu.ops import matching
+from orb_slam2_tpu.slam.map_store import MapStore
+from orb_slam2_tpu.solvers import ba
+from orb_slam2_tpu.solvers import triangulation as tri
+from orb_slam2_tpu.utils import bucket_size, pad_rows
+
+
+class LocalMapper:
+    def __init__(self, settings: Settings, sensor: Sensor, store: MapStore,
+                 loop_closer=None):
+        self.s = settings
+        self.sensor = sensor
+        self.store = store
+        self.loop_closer = loop_closer
+        self.queue: List[int] = []
+        self.recent_points: List[int] = []
+        self.abort_ba = False
+        self._accepting = True
+        self.scale_factors = settings.scale_factors().astype(np.float32)
+        self.level_sigma2 = settings.level_sigma2().astype(np.float32)
+        self.log_scale = float(np.log(settings.scale_factor))
+        self._sf_dev = jnp.asarray(self.scale_factors)
+        self._ls2_dev = jnp.asarray(self.level_sigma2)
+        w, h = settings.width, settings.height
+        self.bounds = np.array([0.0, w, 0.0, h], np.float32)
+        self._bounds_dev = jnp.asarray(self.bounds)
+        self.current_kf = -1
+
+    # -- queue / thread-protocol surface (ref: LocalMapping.h:50-68) ----
+    def insert_keyframe(self, kf: int):
+        self.queue.append(kf)
+        self.abort_ba = True
+
+    def queue_size(self) -> int:
+        return len(self.queue)
+
+    def accepting_keyframes(self) -> bool:
+        return self._accepting and not self.queue
+
+    def interrupt_ba(self):
+        self.abort_ba = True
+
+    def reset(self, store: MapStore):
+        self.store = store
+        self.queue.clear()
+        self.recent_points.clear()
+
+    def spin(self):
+        """Drain the keyframe queue (ref: LocalMapping::Run loop)."""
+        while self.queue:
+            self.process_one()
+
+    # ------------------------------------------------------------------
+    def process_one(self):
+        """One pass of the mapping loop (ref: src/LocalMapping.cc:47-112)."""
+        if not self.queue:
+            return
+        kf = self.queue.pop(0)
+        self.current_kf = kf
+        self.abort_ba = False
+        self._process_new_keyframe(kf)
+        self._cull_map_points(kf)
+        self._create_new_map_points(kf)
+        if not self.queue:
+            self._search_in_neighbors(kf)
+        if not self.queue and not self.abort_ba:
+            if int(self.store.kf_valid.sum()) > 2:
+                self.local_bundle_adjustment(kf)
+            self._cull_keyframes(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    def _process_new_keyframe(self, kf: int):
+        """ref: LocalMapping::ProcessNewKeyFrame (src/LocalMapping.cc:128).
+        Observations were registered at insertion; refresh point stats and
+        covisibility, and enroll tracking-born points for culling."""
+        store = self.store
+        row = store.kf_obs[kf]
+        for pid in row[row >= 0]:
+            pid = int(pid)
+            if not store.pt_valid[pid]:
+                continue
+            store.compute_distinctive_descriptor(pid)
+            store.update_normal_and_depth(pid)
+            store.update_scale_band(pid, self.scale_factors)
+            if store.pt_first_kf[pid] == kf:
+                self.recent_points.append(pid)
+        store.update_connections(kf)
+
+    def _cull_map_points(self, kf: int):
+        """ref: LocalMapping::MapPointCulling (src/LocalMapping.cc:170-204):
+        drop points with found-ratio < 0.25, or too few observations within
+        2 keyframes of creation; release survivors after 3 keyframes."""
+        store = self.store
+        th_obs = 2 if self.sensor == Sensor.MONOCULAR else 3
+        keep = []
+        for pid in self.recent_points:
+            if not store.pt_valid[pid]:
+                continue
+            first = store.pt_first_kf[pid]
+            age = kf - first
+            if store.found_ratio(pid) < 0.25:
+                store.set_point_bad(pid)
+            elif age >= 2 and store.pt_n_obs[pid] <= th_obs:
+                store.set_point_bad(pid)
+            elif age >= 3:
+                pass          # survived probation
+            else:
+                keep.append(pid)
+        self.recent_points = keep
+
+    # ------------------------------------------------------------------
+    def _create_new_map_points(self, kf: int):
+        """ref: LocalMapping::CreateNewMapPoints (src/LocalMapping.cc:207).
+        Epipolar-search + triangulate against the top covisible keyframes,
+        with the reference's baseline gates."""
+        store = self.store
+        nn = 10 if self.sensor != Sensor.MONOCULAR else 20
+        neighbors = store.best_covisibles(kf, nn)
+        if not neighbors:
+            return
+        T1 = store.kf_pose[kf]
+        O1 = store.camera_center(kf)
+        K = np.array(self.s.K, np.float32)
+        Kd = jnp.asarray(K)
+        free1 = store.kf_feat_valid[kf] & (store.kf_obs[kf] < 0)
+        baseline_own = self.s.baseline
+
+        for kf2 in neighbors:
+            if self.queue:        # new KF arrived: yield (ref :213-215)
+                return
+            O2 = store.camera_center(kf2)
+            baseline = float(np.linalg.norm(O2 - O1))
+            if self.sensor != Sensor.MONOCULAR:
+                if baseline < baseline_own:       # ref :244-250
+                    continue
+            else:
+                med = store.scene_median_depth(kf2, 2)
+                if med <= 0 or baseline / med < 0.01:   # ref :252-261
+                    continue
+            T2 = store.kf_pose[kf2]
+            F12 = tri.fundamental_from_poses(
+                jnp.asarray(T1), jnp.asarray(T2), Kd, Kd
+            )
+            # epipole of O1 in image 2
+            pc = T2[:3, :3] @ O1 + T2[:3, 3]
+            ex = self.s.fx * pc[0] / max(pc[2], 1e-9) + self.s.cx
+            ey = self.s.fy * pc[1] / max(pc[2], 1e-9) + self.s.cy
+
+            free2 = store.kf_feat_valid[kf2] & (store.kf_obs[kf2] < 0)
+            m = matching.search_for_triangulation(
+                jnp.asarray(store.kf_xy[kf]), jnp.asarray(store.kf_ur[kf]),
+                jnp.asarray(store.kf_octave[kf]),
+                jnp.asarray(store.kf_desc[kf]),
+                jnp.asarray(store.kf_node[kf]),
+                jnp.asarray(store.kf_angle[kf]), jnp.asarray(free1),
+                jnp.asarray(store.kf_xy[kf2]), jnp.asarray(store.kf_ur[kf2]),
+                jnp.asarray(store.kf_octave[kf2]),
+                jnp.asarray(store.kf_desc[kf2]),
+                jnp.asarray(store.kf_node[kf2]),
+                jnp.asarray(store.kf_angle[kf2]), jnp.asarray(free2),
+                F12, jnp.asarray(np.array([ex, ey], np.float32)),
+                self._sf_dev, self._ls2_dev,
+            )
+            ok = np.asarray(m.ok)
+            idx = np.asarray(m.idx)
+            if not ok.any():
+                continue
+            xy2 = store.kf_xy[kf2][idx]
+            res = tri.triangulate_and_gate(
+                jnp.asarray(T1), jnp.asarray(T2),
+                jnp.asarray(store.kf_xy[kf]), jnp.asarray(xy2),
+                jnp.asarray(store.kf_ur[kf]),
+                jnp.asarray(store.kf_ur[kf2][idx]),
+                jnp.asarray(store.kf_depth[kf]),
+                jnp.asarray(store.kf_depth[kf2][idx]),
+                jnp.asarray(store.kf_octave[kf]),
+                jnp.asarray(store.kf_octave[kf2][idx]),
+                jnp.asarray(ok),
+                jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                jnp.float32(self.s.bf),
+                self._sf_dev, self._ls2_dev,
+            )
+            good = np.asarray(res.good)
+            pts = np.asarray(res.pts_w)
+            for i in np.nonzero(good)[0]:
+                i = int(i)
+                j = int(idx[i])
+                if store.kf_obs[kf, i] >= 0 or store.kf_obs[kf2, j] >= 0:
+                    continue   # claimed meanwhile
+                pid = store.add_point(pts[i], kf, store.kf_desc[kf, i])
+                store.add_observation(pid, kf, i)
+                store.add_observation(pid, kf2, j)
+                store.compute_distinctive_descriptor(pid)
+                store.update_normal_and_depth(pid)
+                store.update_scale_band(pid, self.scale_factors)
+                self.recent_points.append(pid)
+                free1[i] = False
+
+    # ------------------------------------------------------------------
+    def _fuse_into_kf(self, target_kf: int, pids: np.ndarray) -> int:
+        """Project `pids` into `target_kf`; merge duplicates / add missing
+        observations (device Fuse + host replace, ref ORBmatcher::Fuse
+        src/ORBmatcher.cc:825-975)."""
+        store = self.store
+        pids = pids[store.pt_valid[pids]]
+        # skip points already observed by the target
+        seen = store.kf_obs[target_kf]
+        seen_set = set(int(p) for p in seen[seen >= 0])
+        pids = np.array([p for p in pids if int(p) not in seen_set],
+                        np.int64)
+        if len(pids) == 0:
+            return 0
+        M = bucket_size(len(pids), 256)
+        mask = pad_rows(np.ones(len(pids), bool), M, False)
+        fm = matching.fuse_points(
+            jnp.asarray(pad_rows(store.pt_pos[pids], M)),
+            jnp.asarray(mask),
+            jnp.asarray(pad_rows(store.pt_desc[pids], M)),
+            jnp.asarray(pad_rows(store.pt_normal[pids], M)),
+            jnp.asarray(pad_rows(store.pt_min_dist[pids], M)),
+            jnp.asarray(pad_rows(store.pt_max_dist[pids], M)),
+            jnp.asarray(store.kf_pose[target_kf]),
+            jnp.asarray(store.kf_xy[target_kf]),
+            jnp.asarray(store.kf_ur[target_kf]),
+            jnp.asarray(store.kf_octave[target_kf]),
+            jnp.asarray(store.kf_desc[target_kf]),
+            jnp.asarray(store.kf_feat_valid[target_kf]),
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            jnp.float32(self.s.bf),
+            self._bounds_dev, self._sf_dev, self._ls2_dev,
+            self.log_scale, self.s.n_levels,
+        )
+        ok = np.asarray(fm.ok)[: len(pids)]
+        idx = np.asarray(fm.idx)[: len(pids)]
+        n_fused = 0
+        for row in np.nonzero(ok)[0]:
+            pid = int(pids[row])
+            feat = int(idx[row])
+            if not store.pt_valid[pid]:
+                continue
+            existing = int(store.kf_obs[target_kf, feat])
+            if existing >= 0 and store.pt_valid[existing]:
+                # keep the point with more observations (ref :925-934)
+                if store.pt_n_obs[existing] > store.pt_n_obs[pid]:
+                    store.replace_point(pid, existing)
+                else:
+                    store.replace_point(existing, pid)
+            else:
+                store.add_observation(pid, target_kf, feat)
+            n_fused += 1
+        return n_fused
+
+    def _search_in_neighbors(self, kf: int):
+        """ref: LocalMapping::SearchInNeighbors (src/LocalMapping.cc:454):
+        two-way fusion with 1st- and 2nd-order covisible neighbors."""
+        store = self.store
+        nn = 10 if self.sensor != Sensor.MONOCULAR else 20
+        targets = []
+        seen = {kf}
+        for nb in store.best_covisibles(kf, nn):
+            if nb not in seen:
+                targets.append(nb)
+                seen.add(nb)
+                for nb2 in store.best_covisibles(nb, 5):
+                    if nb2 not in seen:
+                        targets.append(nb2)
+                        seen.add(nb2)
+
+        own = store.kf_obs[kf]
+        own_pids = own[own >= 0]
+        for t in targets:
+            self._fuse_into_kf(t, own_pids)
+        # reverse: fuse all targets' points into the current keyframe
+        if targets:
+            fuse_cands = store.points_in_kfs(targets)
+            self._fuse_into_kf(kf, fuse_cands)
+
+        # refresh point stats + connections (ref :536-553)
+        row = store.kf_obs[kf]
+        for pid in row[row >= 0]:
+            pid = int(pid)
+            if store.pt_valid[pid]:
+                store.compute_distinctive_descriptor(pid)
+                store.update_normal_and_depth(pid)
+                store.update_scale_band(pid, self.scale_factors)
+        store.update_connections(kf)
+
+    # ------------------------------------------------------------------
+    def _gather_ba_problem(
+        self, cams: List[int], fixed: List[int], pids: np.ndarray
+    ) -> Tuple[ba.BAProblem, Dict[int, int], np.ndarray, list]:
+        """Pack a window into a fixed-shape BAProblem (bucketed padding)."""
+        store = self.store
+        all_cams = list(cams) + list(fixed)
+        cam_index = {c: i for i, c in enumerate(all_cams)}
+        K = bucket_size(len(all_cams), 8)
+        P = bucket_size(max(len(pids), 1), 256)
+
+        cam_T = pad_rows(store.kf_pose[all_cams], K)
+        cam_T[len(all_cams):] = np.eye(4, dtype=np.float32)
+        cam_fixed = pad_rows(
+            np.array([c in set(fixed) for c in all_cams], bool), K, True
+        )
+        if len(cams) > 0 and not fixed:
+            cam_fixed[cam_index[cams[0]]] = True   # gauge freedom
+        cam_mask = pad_rows(np.ones(len(all_cams), bool), K, False)
+        pts = pad_rows(store.pt_pos[pids], P)
+        pt_mask = pad_rows(np.ones(len(pids), bool), P, False)
+
+        pt_index = {int(p): i for i, p in enumerate(pids)}
+        e_cam, e_pt, e_uv, e_is2, e_feat = [], [], [], [], []
+        for i, pid in enumerate(pids):
+            for c, feat in store.pt_obs.get(int(pid), {}).items():
+                if c not in cam_index or not store.kf_valid[c]:
+                    continue
+                u, v = store.kf_xy[c, feat]
+                ur = store.kf_ur[c, feat]
+                e_cam.append(cam_index[c])
+                e_pt.append(i)
+                e_uv.append((u, v, ur))
+                e_is2.append(1.0 / self.level_sigma2[
+                    store.kf_octave[c, feat]])
+                e_feat.append((c, feat))
+        E = bucket_size(max(len(e_cam), 1), 1024)
+        edge_cam = pad_rows(np.array(e_cam, np.int32), E)
+        edge_pt = pad_rows(np.array(e_pt, np.int32), E)
+        edge_uv = pad_rows(np.array(e_uv, np.float32).reshape(-1, 3), E)
+        edge_is2 = pad_rows(np.array(e_is2, np.float32), E)
+        edge_mask = pad_rows(np.ones(len(e_cam), bool), E, False)
+
+        prob = ba.BAProblem(
+            jnp.asarray(cam_T), jnp.asarray(cam_fixed), jnp.asarray(cam_mask),
+            jnp.asarray(pts), jnp.asarray(pt_mask),
+            jnp.asarray(edge_cam), jnp.asarray(edge_pt), jnp.asarray(edge_uv),
+            jnp.asarray(edge_is2), jnp.asarray(edge_mask),
+        )
+        return prob, cam_index, pids, e_feat
+
+    def _intrinsics(self):
+        return (jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                jnp.float32(self.s.bf))
+
+    def local_bundle_adjustment(self, kf: int):
+        """ref: Optimizer::LocalBundleAdjustment (src/Optimizer.cc:453-780):
+        optimize the 1-ring covisible window + its points, others fixed;
+        5 iterations, outlier pass, 10 more, erase outlier observations."""
+        store = self.store
+        cams = [kf] + [c for c in store.ordered_covisibles(kf)]
+        cams = [c for c in cams if store.kf_valid[c]]
+        pids = store.points_in_kfs(cams)
+        if len(pids) == 0 or len(cams) < 2:
+            return
+        cam_set = set(cams)
+        fixed = sorted({
+            c for p in pids for c in store.pt_obs.get(int(p), {})
+            if c not in cam_set and store.kf_valid[c]
+        })
+        # gauge: fix origin / first keyframe if present (ref :471-475)
+        prob, cam_index, pids, e_feat = self._gather_ba_problem(
+            cams, fixed, pids
+        )
+        fx, fy, cx, cy, bf = self._intrinsics()
+        cam_T, pts, _ = ba.optimize(
+            prob, fx, fy, cx, cy, bf, iters=5, use_kernel=True, mode="dense"
+        )
+        if not self.abort_ba:
+            prob2 = prob._replace(cam_T=cam_T, pts=pts)
+            bad = np.asarray(ba.classify_outliers(prob2, fx, fy, cx, cy, bf))
+            edge_mask = np.asarray(prob.edge_mask) & ~bad
+            prob2 = prob2._replace(edge_mask=jnp.asarray(edge_mask))
+            cam_T, pts, _ = ba.optimize(
+                prob2, fx, fy, cx, cy, bf, iters=10, use_kernel=False,
+                mode="dense",
+            )
+            prob = prob2
+
+        # final outlier classification + erase observations (ref :718-760)
+        prob3 = prob._replace(cam_T=cam_T, pts=pts)
+        bad = np.asarray(ba.classify_outliers(prob3, fx, fy, cx, cy, bf))
+        valid_e = np.asarray(prob.edge_mask)
+        for e in np.nonzero(bad & valid_e)[0]:
+            c, feat = e_feat[e]
+            pid = int(store.kf_obs[c, feat])
+            if pid >= 0:
+                store.erase_observation(pid, c)
+
+        # write back (ref :760-779)
+        cam_T_np = np.asarray(cam_T)
+        for c, i in cam_index.items():
+            if c not in set(fixed):
+                store.kf_pose[c] = cam_T_np[i]
+        pts_np = np.asarray(pts)
+        for i, pid in enumerate(pids):
+            pid = int(pid)
+            if store.pt_valid[pid]:
+                store.pt_pos[pid] = pts_np[i]
+                store.update_normal_and_depth(pid)
+                store.update_scale_band(pid, self.scale_factors)
+
+    def global_bundle_adjustment(self, iters: int = 20,
+                                 fixed_kf: Optional[int] = None,
+                                 loop_kf: int = 0):
+        """ref: Optimizer::GlobalBundleAdjustemnt (src/Optimizer.cc:41-237):
+        all keyframes (origin fixed) + all points; CG-mode Schur solve."""
+        store = self.store
+        cams = [int(c) for c in store.valid_kf_ids()]
+        if len(cams) < 2:
+            return
+        pids = store.points_in_kfs(cams)
+        if len(pids) == 0:
+            return
+        prob, cam_index, pids, e_feat = self._gather_ba_problem(
+            cams, [], pids
+        )
+        fix0 = fixed_kf if fixed_kf is not None else store.origin_kf
+        cam_fixed = np.asarray(prob.cam_fixed).copy()
+        cam_fixed[:] = False
+        cam_fixed[~np.asarray(prob.cam_mask)] = True
+        if fix0 in cam_index:
+            cam_fixed[cam_index[fix0]] = True
+        prob = prob._replace(cam_fixed=jnp.asarray(cam_fixed))
+        fx, fy, cx, cy, bf = self._intrinsics()
+        mode = "dense" if len(cams) <= 64 else "cg"
+        cam_T, pts, _ = ba.optimize(
+            prob, fx, fy, cx, cy, bf, iters=iters, use_kernel=True, mode=mode
+        )
+        cam_T_np = np.asarray(cam_T)
+        pts_np = np.asarray(pts)
+        for c, i in cam_index.items():
+            store.kf_pose[c] = cam_T_np[i]
+        for i, pid in enumerate(pids):
+            pid = int(pid)
+            if store.pt_valid[pid]:
+                store.pt_pos[pid] = pts_np[i]
+        for pid in pids:
+            store.update_normal_and_depth(int(pid))
+            store.update_scale_band(int(pid), self.scale_factors)
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, kf: int):
+        """ref: LocalMapping::KeyFrameCulling (src/LocalMapping.cc:632-703):
+        erase covisible keyframes whose map points are >=90% seen by >=3
+        other keyframes at the same or finer scale."""
+        store = self.store
+        for cand in store.ordered_covisibles(kf):
+            if cand == store.origin_kf or not store.kf_valid[cand]:
+                continue
+            row = store.kf_obs[cand]
+            feats = np.nonzero(row >= 0)[0]
+            n_pts = 0
+            n_redundant = 0
+            th_obs = 3
+            for feat in feats:
+                pid = int(row[feat])
+                if not store.pt_valid[pid]:
+                    continue
+                if self.sensor != Sensor.MONOCULAR:
+                    d = store.kf_depth[cand, feat]
+                    if d > self.s.depth_threshold or d < 0:
+                        continue
+                n_pts += 1
+                if store.pt_n_obs[pid] <= th_obs:
+                    continue
+                level = int(store.kf_octave[cand, feat])
+                n_obs_finer = 0
+                for okf, ofeat in store.pt_obs.get(pid, {}).items():
+                    if okf == cand:
+                        continue
+                    if int(store.kf_octave[okf, ofeat]) <= level + 1:
+                        n_obs_finer += 1
+                        if n_obs_finer >= th_obs:
+                            break
+                if n_obs_finer >= th_obs:
+                    n_redundant += 1
+            if n_pts > 0 and n_redundant > 0.9 * n_pts:
+                store.erase_keyframe(cand)

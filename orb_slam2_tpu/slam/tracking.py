@@ -1,0 +1,836 @@
+"""Tracking: the per-frame front-end state machine.
+
+Host-side equivalent of Tracking (ref: src/Tracking.cc, 1593 LoC): frame
+construction, monocular/stereo initialization, pose tracking via motion
+model / reference keyframe / relocalization, local-map tracking, the
+keyframe decision, localization-mode visual odometry, and trajectory
+bookkeeping.  All heavy math (matching, frustum culling, pose LM) runs
+as fixed-shape jitted ops; this module owns only control flow and the
+map bookkeeping, which is exactly the split SURVEY.md §7 prescribes
+("decisions on host, inner math on device").
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_tpu.config import Sensor, Settings
+from orb_slam2_tpu.ops import matching
+from orb_slam2_tpu.slam.frame import Frame, FrameBuilder
+from orb_slam2_tpu.slam.map_store import MapStore
+from orb_slam2_tpu.solvers import initializer as mono_init
+from orb_slam2_tpu.solvers import pose_lm
+from orb_slam2_tpu.utils import StageTimers, bucket_size, pad_rows
+
+
+class State(enum.Enum):
+    """ref: include/Tracking.h:82-88 eTrackingState."""
+
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclass
+class TrajectoryEntry:
+    """Per-frame relative pose record (ref: src/Tracking.cc:489-505)."""
+
+    Tcr: np.ndarray          # frame pose relative to its reference KF
+    ref_kf: int
+    timestamp: float
+    lost: bool
+
+
+class Tracker:
+    def __init__(
+        self,
+        settings: Settings,
+        sensor: Sensor,
+        store: MapStore,
+        builder: FrameBuilder,
+        local_mapper=None,
+        kf_database=None,
+        relocalizer=None,
+    ):
+        self.s = settings
+        self.sensor = sensor
+        self.store = store
+        self.builder = builder
+        self.local_mapper = local_mapper
+        self.kf_database = kf_database
+        self.relocalizer = relocalizer
+
+        self.state = State.NO_IMAGES_YET
+        self.velocity: Optional[np.ndarray] = None
+        self.last_frame: Optional[Frame] = None
+        self.current: Optional[Frame] = None
+        self.ref_kf: int = -1
+        self.local_kfs: List[int] = []
+        self.local_pts: np.ndarray = np.zeros(0, np.int64)
+        self.last_kf_frame_id = 0
+        self.last_reloc_frame_id = -1000
+        self.trajectory: List[TrajectoryEntry] = []
+        self.only_tracking = False      # localization mode
+        self.vo_flag = False            # mbVO (ref: include/Tracking.h)
+        self.temporal_points: List[int] = []
+
+        # mono initialization state
+        self._init_frame: Optional[Frame] = None
+        self._init_prev_matched: Optional[np.ndarray] = None
+        self._init_matches: Optional[np.ndarray] = None
+
+        self.min_frames = 0
+        self.max_frames = int(settings.fps)
+        self.timers = StageTimers()
+        self.n_inliers = 0
+
+        self.scale_factors = builder.scale_factors
+        self.level_sigma2 = builder.level_sigma2
+        self.log_scale = float(np.log(settings.scale_factor))
+        self.bounds = np.asarray(builder.bounds, np.float32)
+
+        # device constants
+        self._sf_dev = jnp.asarray(self.scale_factors)
+        self._bounds_dev = jnp.asarray(self.bounds)
+
+    # ------------------------------------------------------------------
+    # public per-frame entries (ref: GrabImage* src/Tracking.cc:168-266)
+    # ------------------------------------------------------------------
+    def grab_monocular(self, img: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
+        boost = self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED)
+        with self.timers("frame_build"):
+            frame = self.builder.monocular(img, timestamp, init_boost=boost)
+        return self._track(frame)
+
+    def grab_stereo(self, img_l, img_r, timestamp: float) -> Optional[np.ndarray]:
+        with self.timers("frame_build"):
+            frame = self.builder.stereo_pair(img_l, img_r, timestamp)
+        return self._track(frame)
+
+    def grab_rgbd(self, img, depth, timestamp: float) -> Optional[np.ndarray]:
+        with self.timers("frame_build"):
+            frame = self.builder.rgbd(img, depth, timestamp)
+        return self._track(frame)
+
+    # ------------------------------------------------------------------
+    # main state machine (ref: Tracking::Track src/Tracking.cc:268-507)
+    # ------------------------------------------------------------------
+    def _track(self, frame: Frame) -> Optional[np.ndarray]:
+        self.current = frame
+        if self.state == State.NO_IMAGES_YET:
+            self.state = State.NOT_INITIALIZED
+
+        if self.state == State.NOT_INITIALIZED:
+            if self.sensor == Sensor.MONOCULAR:
+                self._monocular_initialization()
+            else:
+                self._stereo_initialization()
+            if self.state != State.OK:
+                self.last_frame = frame
+                return None
+            ok = True
+        else:
+            ok = self._track_current_frame()
+
+        # record pose / bookkeeping
+        if ok:
+            self.state = State.OK
+        elif self.state == State.OK:
+            self.state = State.LOST
+
+        if frame.Tcw is not None and self.ref_kf >= 0:
+            Trw = self.store.kf_pose[self.ref_kf]
+            Tcr = frame.Tcw @ np.linalg.inv(Trw)
+            self.trajectory.append(
+                TrajectoryEntry(Tcr, self.ref_kf, frame.timestamp,
+                                self.state == State.LOST)
+            )
+        elif self.trajectory:
+            prev = self.trajectory[-1]
+            self.trajectory.append(
+                TrajectoryEntry(prev.Tcr, prev.ref_kf, frame.timestamp, True)
+            )
+
+        if self.state == State.LOST and self.store.kf_valid.sum() <= 5:
+            self.reset()
+            return None
+
+        self.last_frame = frame
+        return frame.Tcw
+
+    def _track_current_frame(self) -> bool:
+        frame = self.current
+        store = self.store
+        ok = False
+
+        if self.state == State.OK:
+            self._replace_updated_points(self.last_frame)
+            if not self.only_tracking:
+                if (self.velocity is None
+                        or frame.frame_id < self.last_reloc_frame_id + 2):
+                    with self.timers("track_ref_kf"):
+                        ok = self._track_reference_keyframe()
+                else:
+                    with self.timers("track_motion"):
+                        ok = self._track_with_motion_model()
+                    if not ok:
+                        with self.timers("track_ref_kf"):
+                            ok = self._track_reference_keyframe()
+            else:
+                ok = self._track_localization_mode()
+        else:
+            with self.timers("relocalize"):
+                ok = self._relocalization()
+
+        if frame.ref_kf < 0:
+            frame.ref_kf = self.ref_kf
+
+        if ok and not (self.only_tracking and self.vo_flag):
+            with self.timers("track_local_map"):
+                ok = self._track_local_map()
+
+        if ok:
+            # update motion model (ref :418-426)
+            if self.last_frame is not None and self.last_frame.Tcw is not None:
+                self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
+            else:
+                self.velocity = None
+            # clean VO matches: unbind points with no observations
+            # (ref :430-438)
+            for i in np.nonzero(frame.bindings >= 0)[0]:
+                pid = int(frame.bindings[i])
+                if store.pt_valid[pid] and not store.pt_obs.get(pid):
+                    frame.outlier[i] = False
+                    frame.bindings[i] = -1
+            # delete temporal VO points (ref :441-448)
+            for pid in self.temporal_points:
+                store.set_point_bad(pid)
+            self.temporal_points.clear()
+
+            if self._need_new_keyframe():
+                with self.timers("create_keyframe"):
+                    self._create_new_keyframe()
+            # drop outlier bindings so they aren't inherited (ref :461-466)
+            out = frame.outlier & (frame.bindings >= 0)
+            frame.bindings[out] = -1
+            frame.outlier[:] = False
+        return ok
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def _stereo_initialization(self):
+        """ref: Tracking::StereoInitialization (src/Tracking.cc:510-562)."""
+        frame = self.current
+        if int(np.sum(frame.feats.valid)) < 500:
+            return
+        frame.Tcw = np.eye(4, dtype=np.float32)
+        store = self.store
+        kf = store.add_keyframe(
+            frame.feats, frame.Tcw, frame.timestamp, frame.frame_id
+        )
+        store.origin_kf = kf
+        depth = frame.feats.depth
+        for i in np.nonzero((depth > 0) & frame.feats.valid)[0]:
+            pos = self._unproject(frame, int(i))
+            pid = store.add_point(pos, kf, frame.feats.desc[i])
+            store.add_observation(pid, kf, int(i))
+            store.compute_distinctive_descriptor(pid)
+            store.update_normal_and_depth(pid)
+            store.update_scale_band(pid, self.scale_factors)
+            frame.bindings[i] = pid
+        self.ref_kf = kf
+        frame.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+        self.local_kfs = [kf]
+        self.local_pts = store.valid_pt_ids()
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf)
+        self.state = State.OK
+
+    def _monocular_initialization(self):
+        """ref: Tracking::MonocularInitialization (src/Tracking.cc:564-636)."""
+        frame = self.current
+        n_valid = int(np.sum(frame.feats.valid))
+        if self._init_frame is None:
+            if n_valid > 100:
+                self._init_frame = frame
+                self._init_prev_matched = frame.feats.xy.copy()
+            return
+        if n_valid <= 100:
+            self._init_frame = None
+            return
+
+        f0, f1 = self._init_frame.feats, frame.feats
+        m = matching.search_for_initialization(
+            jnp.asarray(f0.xy), jnp.asarray(f0.desc),
+            jnp.asarray(f0.octave), jnp.asarray(f0.angle),
+            jnp.asarray(f0.valid),
+            jnp.asarray(f1.xy), jnp.asarray(f1.desc),
+            jnp.asarray(f1.octave), jnp.asarray(f1.angle),
+            jnp.asarray(f1.valid),
+            window=100.0, ratio=0.9,
+        )
+        ok = np.asarray(m.ok)
+        idx = np.asarray(m.idx)
+        if int(ok.sum()) < 100:
+            self._init_frame = None
+            return
+
+        rows = np.nonzero(ok)[0]
+        rng = np.random.default_rng(0)  # seeded like DUtils SeedRandOnce(0)
+        sets = mono_init.make_ransac_samples(len(rows), rng)
+        sample_idx = rows[sets].astype(np.int32)
+        res = mono_init.initialize(
+            jnp.asarray(f0.xy), jnp.asarray(f1.xy[idx]),
+            jnp.asarray(ok),
+            jnp.asarray(self.s.K, jnp.float32),
+            jnp.asarray(sample_idx),
+        )
+        if not bool(res.success):
+            return
+        good = np.asarray(res.good_mask) & ok
+        if int(good.sum()) < 80:
+            return
+        R21 = np.asarray(res.R21)
+        t21 = np.asarray(res.t21)
+        pts3d = np.asarray(res.points3d)
+        self._create_initial_map_monocular(frame, idx, good, R21, t21, pts3d)
+
+    def _create_initial_map_monocular(self, frame, idx, good, R21, t21, pts3d):
+        """ref: Tracking::CreateInitialMapMonocular (src/Tracking.cc:638-756):
+        two keyframes, triangulated points, 20-iteration global BA, then
+        median-depth normalization to unit scale."""
+        store = self.store
+        f0 = self._init_frame
+        T0 = np.eye(4, dtype=np.float32)
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, :3] = R21
+        T1[:3, 3] = t21
+        f0.Tcw = T0
+        frame.Tcw = T1
+
+        kf0 = store.add_keyframe(f0.feats, T0, f0.timestamp, f0.frame_id)
+        store.origin_kf = kf0
+        kf1 = store.add_keyframe(frame.feats, T1, frame.timestamp,
+                                 frame.frame_id)
+        for i in np.nonzero(good)[0]:
+            j = int(idx[i])
+            pid = store.add_point(pts3d[i], kf1, frame.feats.desc[j])
+            store.add_observation(pid, kf0, int(i))
+            store.add_observation(pid, kf1, j)
+            store.compute_distinctive_descriptor(pid)
+            store.update_normal_and_depth(pid)
+            store.update_scale_band(pid, self.scale_factors)
+            f0.bindings[i] = pid
+            frame.bindings[j] = pid
+        store.update_connections(kf0)
+        store.update_connections(kf1)
+
+        # global BA on the 2-view map (ref :687)
+        if self.local_mapper is not None:
+            self.local_mapper.global_bundle_adjustment(iters=20)
+
+        # median-depth normalization (ref :690-713)
+        med_depth = store.scene_median_depth(kf0, 2)
+        if med_depth <= 0 or store.tracked_points_in_kf(kf1, 1) < 100:
+            self.reset()
+            return
+        inv_med = 1.0 / med_depth
+        T1s = store.kf_pose[kf1].copy()
+        T1s[:3, 3] *= inv_med
+        store.kf_pose[kf1] = T1s
+        pids = store.valid_pt_ids()
+        store.pt_pos[pids] *= inv_med
+        for pid in pids:
+            store.update_normal_and_depth(int(pid))
+            store.update_scale_band(int(pid), self.scale_factors)
+        frame.Tcw = store.kf_pose[kf1].copy()
+
+        self.ref_kf = kf1
+        frame.ref_kf = kf1
+        self.last_kf_frame_id = frame.frame_id
+        self.local_kfs = [kf0, kf1]
+        self.local_pts = store.valid_pt_ids()
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf0)
+            self.local_mapper.insert_keyframe(kf1)
+        self._init_frame = None
+        self.state = State.OK
+
+    # ------------------------------------------------------------------
+    # pose tracking
+    # ------------------------------------------------------------------
+    def _replace_updated_points(self, frame: Optional[Frame]):
+        """ref: Tracking::CheckReplacedInLastFrame (src/Tracking.cc:741-756)."""
+        if frame is None:
+            return
+        for i in np.nonzero(frame.bindings >= 0)[0]:
+            pid = self.store.resolve_replaced(int(frame.bindings[i]))
+            frame.bindings[i] = pid if self.store.pt_valid[pid] else -1
+
+    def _pose_observations(self, frame: Frame):
+        """Build the fixed-shape PoseObs block from current bindings."""
+        store = self.store
+        n = frame.n_feat
+        bind = frame.bindings
+        has = bind >= 0
+        pids = np.where(has, bind, 0)
+        pts_w = store.pt_pos[pids]
+        ur = frame.feats.ur
+        uv = np.stack(
+            [frame.feats.xy[:, 0], frame.feats.xy[:, 1], ur], -1
+        ).astype(np.float32)
+        inv_sigma2 = (1.0 / self.level_sigma2[frame.feats.octave]).astype(
+            np.float32
+        )
+        mask = has & frame.feats.valid & store.pt_valid[pids]
+        return pose_lm.PoseObs(
+            jnp.asarray(pts_w), jnp.asarray(uv),
+            jnp.asarray(inv_sigma2), jnp.asarray(mask),
+        ), mask
+
+    def _optimize_pose(self, frame: Frame) -> int:
+        obs, mask = self._pose_observations(frame)
+        if int(mask.sum()) < 3:
+            return 0
+        T, inliers, n_in = pose_lm.optimize_pose(
+            jnp.asarray(frame.Tcw), obs,
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            jnp.float32(self.s.bf),
+        )
+        frame.Tcw = np.asarray(T)
+        inl = np.asarray(inliers)
+        frame.outlier = mask & ~inl
+        return int(inl.sum())
+
+    def _discard_outliers(self, frame: Frame) -> int:
+        """Unbind outliers; return inlier matches that are map points
+        (ref: TrackWithMotionModel tail, src/Tracking.cc:905-926)."""
+        n_map = 0
+        for i in np.nonzero(frame.bindings >= 0)[0]:
+            pid = int(frame.bindings[i])
+            if frame.outlier[i]:
+                frame.bindings[i] = -1
+                frame.outlier[i] = False
+                self.store.pt_visible[pid] += 0  # reference resets flags only
+            elif self.store.pt_n_obs[pid] >= 1:
+                n_map += 1
+        return n_map
+
+    def _track_with_motion_model(self) -> bool:
+        """ref: Tracking::TrackWithMotionModel (src/Tracking.cc:868-929)."""
+        frame = self.current
+        last = self.last_frame
+        store = self.store
+        self._update_last_frame()
+        frame.Tcw = (self.velocity @ last.Tcw).astype(np.float32)
+
+        bind = last.bindings
+        has = bind >= 0
+        pids = np.where(has, bind, 0)
+        has = has & store.pt_valid[pids]
+        th = 7.0 if self.sensor == Sensor.STEREO else 15.0
+        n_matches, m_idx, m_pid = self._match_last(frame, last, pids, has, th)
+        if n_matches < 20:
+            n_matches, m_idx, m_pid = self._match_last(
+                frame, last, pids, has, 2 * th
+            )
+        if n_matches < 20:
+            return False
+        frame.bindings[:] = -1
+        frame.bindings[m_idx] = m_pid
+
+        self._optimize_pose(frame)
+        n_map = self._discard_outliers(frame)
+        if self.only_tracking:
+            self.vo_flag = n_map < 10
+            return n_matches > 20
+        return n_map >= 10
+
+    def _match_last(self, frame, last, pids, has, th):
+        # z-motion octave gating (ref: src/ORBmatcher.cc:1352-1360):
+        # forward if the camera advanced by more than the stereo baseline
+        tlc = last.Tcw @ np.linalg.inv(frame.Tcw)
+        mono = self.sensor == Sensor.MONOCULAR
+        forward = (not mono) and tlc[2, 3] > self.s.baseline
+        backward = (not mono) and -tlc[2, 3] > self.s.baseline
+        m = matching.search_last_frame(
+            jnp.asarray(self.store.pt_pos[pids]),
+            jnp.asarray(has),
+            jnp.asarray(last.feats.octave),
+            jnp.asarray(self.store.pt_desc[pids]),
+            jnp.asarray(last.feats.angle),
+            jnp.asarray(frame.Tcw),
+            jnp.asarray(frame.feats.xy), jnp.asarray(frame.feats.ur),
+            jnp.asarray(frame.feats.octave), jnp.asarray(frame.feats.desc),
+            jnp.asarray(frame.feats.angle), jnp.asarray(frame.feats.valid),
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            jnp.float32(self.s.bf),
+            self._bounds_dev, self._sf_dev,
+            th, forward=forward, backward=backward,
+        )
+        ok = np.asarray(m.ok)
+        idx = np.asarray(m.idx)
+        rows = np.nonzero(ok)[0]
+        return len(rows), idx[rows], pids[rows]
+
+    def _track_reference_keyframe(self) -> bool:
+        """ref: Tracking::TrackReferenceKeyFrame (src/Tracking.cc:758-800)."""
+        frame = self.current
+        store = self.store
+        kf = self.ref_kf
+        if kf < 0 or not store.kf_valid[kf]:
+            return False
+        kf_bind = store.kf_obs[kf]
+        kf_has = kf_bind >= 0
+        kf_pids = np.where(kf_has, kf_bind, 0)
+        kf_has = kf_has & store.pt_valid[kf_pids]
+
+        m = matching.search_by_nodes(
+            jnp.asarray(store.kf_desc[kf]), jnp.asarray(store.kf_node[kf]),
+            jnp.asarray(kf_has), jnp.asarray(store.kf_angle[kf]),
+            jnp.asarray(frame.feats.desc), jnp.asarray(frame.feats.node),
+            jnp.asarray(frame.feats.valid), jnp.asarray(frame.feats.angle),
+            ratio=0.7,
+        )
+        ok = np.asarray(m.ok) & kf_has
+        idx = np.asarray(m.idx)
+        if int(ok.sum()) < 15:
+            return False
+        frame.bindings[:] = -1
+        frame.bindings[idx[ok]] = kf_pids[ok]
+        frame.Tcw = (
+            self.last_frame.Tcw.copy() if self.last_frame.Tcw is not None
+            else np.eye(4, np.float32)
+        )
+        self._optimize_pose(frame)
+        n_map = self._discard_outliers(frame)
+        return n_map >= 10
+
+    def _update_last_frame(self):
+        """ref: Tracking::UpdateLastFrame (src/Tracking.cc:802-866):
+        refresh last-frame pose from its reference KF; in localization
+        mode create temporal VO points from close stereo depth."""
+        last = self.last_frame
+        if self.trajectory and last.ref_kf >= 0:
+            Tlr = self.trajectory[-1].Tcr
+            last.Tcw = (Tlr @ self.store.kf_pose[last.ref_kf]).astype(
+                np.float32
+            )
+        if (not self.only_tracking or self.sensor == Sensor.MONOCULAR
+                or last.frame_id == self.last_kf_frame_id):
+            return
+        depth = last.feats.depth
+        cand = np.nonzero((depth > 0) & last.feats.valid)[0]
+        if len(cand) == 0:
+            return
+        order = cand[np.argsort(depth[cand])]
+        n_pts = 0
+        for i in order:
+            i = int(i)
+            pid = int(last.bindings[i])
+            need = pid < 0 or self.store.pt_n_obs[pid] < 1
+            if need:
+                pos = self._unproject(last, i)
+                new_pid = self.store.add_point(pos, -1, last.feats.desc[i])
+                last.bindings[i] = new_pid
+                self.temporal_points.append(new_pid)
+            n_pts += 1
+            if depth[i] > self.s.depth_threshold and n_pts > 100:
+                break
+
+    def _track_localization_mode(self) -> bool:
+        """ref: src/Tracking.cc:328-392: in localization mode run both a
+        motion-model track and (if VO-drifting) relocalization."""
+        frame = self.current
+        if self.state == State.LOST:
+            return self._relocalization()
+        if not self.vo_flag:
+            if self.velocity is not None:
+                return self._track_with_motion_model()
+            return self._track_reference_keyframe()
+        # mbVO: few map matches — try both motion model and reloc
+        ok_mm = False
+        if self.velocity is not None:
+            ok_mm = self._track_with_motion_model()
+        saved = (frame.Tcw.copy() if frame.Tcw is not None else None,
+                 frame.bindings.copy(), frame.outlier.copy())
+        ok_reloc = self._relocalization()
+        if ok_reloc:
+            self.vo_flag = False
+            return True
+        if ok_mm:
+            frame.Tcw, frame.bindings, frame.outlier = saved
+            if self.vo_flag:
+                for i in np.nonzero(frame.bindings >= 0)[0]:
+                    if not frame.outlier[i]:
+                        self.store.pt_found[int(frame.bindings[i])] += 1
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    # local map tracking
+    # ------------------------------------------------------------------
+    def _track_local_map(self) -> bool:
+        """ref: Tracking::TrackLocalMap (src/Tracking.cc:931-976)."""
+        self._update_local_map()
+        self._search_local_points()
+        n_in = self._optimize_pose(self.current)
+        frame = self.current
+        store = self.store
+        n_map = 0
+        for i in np.nonzero(frame.bindings >= 0)[0]:
+            pid = int(frame.bindings[i])
+            if not frame.outlier[i]:
+                store.pt_found[pid] += 1
+                if self.only_tracking or store.pt_n_obs[pid] >= 1:
+                    n_map += 1
+            elif self.sensor == Sensor.STEREO:
+                frame.bindings[i] = -1
+        self.n_inliers = n_map
+        if (frame.frame_id < self.last_reloc_frame_id + self.max_frames
+                and n_map < 50):
+            return False
+        return n_map >= 30
+
+    def _update_local_map(self):
+        """ref: UpdateLocalKeyFrames/UpdateLocalPoints
+        (src/Tracking.cc:1232-1330, :1206-1230)."""
+        frame = self.current
+        store = self.store
+        votes = {}
+        for i in np.nonzero(frame.bindings >= 0)[0]:
+            pid = int(frame.bindings[i])
+            if not store.pt_valid[pid]:
+                frame.bindings[i] = -1
+                continue
+            for kf in store.pt_obs.get(pid, {}):
+                votes[kf] = votes.get(kf, 0) + 1
+        if not votes:
+            return
+        local = []
+        seen = set()
+        for kf in sorted(votes, key=votes.get, reverse=True):
+            if store.kf_valid[kf] and kf not in seen:
+                local.append(kf)
+                seen.add(kf)
+        best_kf = local[0]
+        # neighbors: covisible, children, parent (cap 80, ref :1286)
+        for kf in list(local):
+            if len(local) > 80:
+                break
+            for nb in store.best_covisibles(kf, 10):
+                if nb not in seen and store.kf_valid[nb]:
+                    local.append(nb)
+                    seen.add(nb)
+                    break
+            for ch in store.kf_children.get(kf, set()):
+                if ch not in seen and store.kf_valid[ch]:
+                    local.append(ch)
+                    seen.add(ch)
+                    break
+            par = int(store.kf_parent[kf])
+            if par >= 0 and par not in seen and store.kf_valid[par]:
+                local.append(par)
+                seen.add(par)
+        self.local_kfs = local[:80]
+        self.ref_kf = best_kf
+        frame.ref_kf = best_kf
+        self.local_pts = store.points_in_kfs(self.local_kfs)
+
+    def _search_local_points(self):
+        """ref: Tracking::SearchLocalPoints (src/Tracking.cc:1144-1204)."""
+        frame = self.current
+        store = self.store
+        already = set(
+            int(p) for p in frame.bindings[frame.bindings >= 0]
+        )
+        for pid in already:
+            if store.pt_valid[pid]:
+                store.pt_visible[pid] += 1
+        cand = np.array(
+            [p for p in self.local_pts if int(p) not in already], np.int64
+        )
+        if len(cand) == 0:
+            return
+        M = bucket_size(len(cand), 256)
+        pts = pad_rows(store.pt_pos[cand], M)
+        normals = pad_rows(store.pt_normal[cand], M)
+        min_d = pad_rows(store.pt_min_dist[cand], M)
+        max_d = pad_rows(store.pt_max_dist[cand], M)
+        desc = pad_rows(store.pt_desc[cand], M)
+        mask = pad_rows(np.ones(len(cand), bool), M, False)
+
+        proj = matching.project_points(
+            jnp.asarray(pts), jnp.asarray(normals),
+            jnp.asarray(min_d), jnp.asarray(max_d), jnp.asarray(mask),
+            jnp.asarray(frame.Tcw),
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            jnp.float32(self.s.bf),
+            self._bounds_dev, self.log_scale, self.s.n_levels,
+        )
+        in_f = np.asarray(proj.in_frustum)
+        vis_ids = cand[in_f[: len(cand)]]
+        store.pt_visible[vis_ids] += 1
+        if len(vis_ids) == 0:
+            return
+
+        th = 1.0
+        if self.sensor == Sensor.RGBD:
+            th = 3.0
+        if frame.frame_id < self.last_reloc_frame_id + 2:
+            th = 5.0
+        free = frame.feats.valid & (frame.bindings < 0)
+        m = matching.search_local_points(
+            proj, jnp.asarray(desc),
+            jnp.asarray(frame.feats.xy), jnp.asarray(frame.feats.ur),
+            jnp.asarray(frame.feats.octave), jnp.asarray(frame.feats.desc),
+            jnp.asarray(free),
+            self._sf_dev, th,
+        )
+        ok = np.asarray(m.ok)[: len(cand)]
+        idx = np.asarray(m.idx)[: len(cand)]
+        for row in np.nonzero(ok)[0]:
+            frame.bindings[idx[row]] = cand[row]
+
+    # ------------------------------------------------------------------
+    # keyframe decision / creation
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self) -> bool:
+        """ref: Tracking::NeedNewKeyFrame (src/Tracking.cc:978-1062)."""
+        if self.only_tracking:
+            return False
+        store = self.store
+        frame = self.current
+        n_kfs = int(store.kf_valid.sum())
+        if (frame.frame_id < self.last_reloc_frame_id + self.max_frames
+                and n_kfs > self.max_frames):
+            return False
+        min_obs = 3 if n_kfs > 2 else 2
+        ref_matches = store.tracked_points_in_kf(self.ref_kf, min_obs)
+        idle = (self.local_mapper is None
+                or self.local_mapper.accepting_keyframes())
+
+        n_tracked_close = 0
+        n_nontracked_close = 0
+        if self.sensor != Sensor.MONOCULAR:
+            depth = frame.feats.depth
+            close = (depth > 0) & (depth < self.s.depth_threshold)
+            bound = (frame.bindings >= 0) & ~frame.outlier
+            n_tracked_close = int(np.sum(close & bound))
+            n_nontracked_close = int(np.sum(close & ~bound))
+        need_close = n_tracked_close < 100 and n_nontracked_close > 70
+
+        th_ref = 0.75
+        if n_kfs < 2:
+            th_ref = 0.4
+        if self.sensor == Sensor.MONOCULAR:
+            th_ref = 0.9
+
+        c1a = frame.frame_id >= self.last_kf_frame_id + self.max_frames
+        c1b = (frame.frame_id >= self.last_kf_frame_id + self.min_frames
+               and idle)
+        c1c = (self.sensor != Sensor.MONOCULAR
+               and (self.n_inliers < ref_matches * 0.25 or need_close))
+        c2 = ((self.n_inliers < ref_matches * th_ref or need_close)
+              and self.n_inliers > 15)
+        if (c1a or c1b or c1c) and c2:
+            if idle:
+                return True
+            if self.local_mapper is not None:
+                self.local_mapper.interrupt_ba()
+                if self.sensor != Sensor.MONOCULAR:
+                    return self.local_mapper.queue_size() < 3
+            return False
+        return False
+
+    def _unproject(self, frame: Frame, i: int) -> np.ndarray:
+        """ref: Frame::UnprojectStereo (src/Frame.cc:666-682)."""
+        z = float(frame.feats.depth[i])
+        u, v = frame.feats.xy[i]
+        x = (u - self.s.cx) * z / self.s.fx
+        y = (v - self.s.cy) * z / self.s.fy
+        pc = np.array([x, y, z, 1.0], np.float32)
+        Twc = np.linalg.inv(frame.Tcw)
+        return (Twc @ pc)[:3]
+
+    def _create_new_keyframe(self):
+        """ref: Tracking::CreateNewKeyFrame (src/Tracking.cc:1064-1142)."""
+        frame = self.current
+        store = self.store
+        kf = store.add_keyframe(
+            frame.feats, frame.Tcw, frame.timestamp, frame.frame_id,
+            bindings=np.where(frame.outlier, -1, frame.bindings),
+        )
+        self.ref_kf = kf
+        frame.ref_kf = kf
+        if self.sensor != Sensor.MONOCULAR:
+            depth = frame.feats.depth
+            cand = np.nonzero((depth > 0) & frame.feats.valid)[0]
+            order = cand[np.argsort(depth[cand])]
+            n_pts = 0
+            for i in order:
+                i = int(i)
+                pid = int(frame.bindings[i])
+                pid = store.resolve_replaced(pid) if pid >= 0 else -1
+                create = pid < 0 or not store.pt_valid[pid] \
+                    or store.pt_n_obs[pid] < 1
+                if create:
+                    pos = self._unproject(frame, i)
+                    new_pid = store.add_point(pos, kf, frame.feats.desc[i])
+                    store.add_observation(new_pid, kf, i)
+                    store.compute_distinctive_descriptor(new_pid)
+                    store.update_normal_and_depth(new_pid)
+                    store.update_scale_band(new_pid, self.scale_factors)
+                    frame.bindings[i] = new_pid
+                n_pts += 1
+                if depth[i] > self.s.depth_threshold and n_pts > 100:
+                    break
+        self.last_kf_frame_id = frame.frame_id
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    # relocalization (wired to the BoW database when available)
+    # ------------------------------------------------------------------
+    def _relocalization(self) -> bool:
+        """ref: Tracking::Relocalization (src/Tracking.cc:1342-1503)."""
+        if self.relocalizer is None:
+            return False
+        ok = self.relocalizer.relocalize(self.current, self)
+        if ok:
+            self.last_reloc_frame_id = self.current.frame_id
+        return ok
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """ref: Tracking::Reset (src/Tracking.cc:1505-1551)."""
+        store = self.store
+        self.__init__(
+            self.s, self.sensor,
+            MapStore(store.n_feat), self.builder,
+            local_mapper=self.local_mapper,
+            kf_database=self.kf_database,
+            relocalizer=self.relocalizer,
+        )
+        if self.local_mapper is not None:
+            self.local_mapper.reset(self.store)
+        if self.kf_database is not None:
+            self.kf_database.clear()
+
+    def set_localization_mode(self, on: bool):
+        """ref: System::{Activate,Deactivate}LocalizationMode
+        (src/System.cc:126-158)."""
+        self.only_tracking = on
+        if not on:
+            self.vo_flag = False

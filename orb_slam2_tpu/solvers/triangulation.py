@@ -1,4 +1,4 @@
-"""Batched DLT triangulation.
+"""Batched DLT triangulation + the reference's new-point validity gates.
 
 TPU-native equivalent of the SVD triangulation in
 LocalMapping::CreateNewMapPoints (ref: src/LocalMapping.cc:322-331) and
@@ -8,6 +8,10 @@ all candidate pairs at once.
 
 from __future__ import annotations
 
+import functools
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 
 
@@ -45,3 +49,133 @@ def triangulate_dlt(
     w = X[..., 3]
     w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     return X[..., :3] / w_safe[..., None]
+
+
+class NewPoints(NamedTuple):
+    pts_w: jnp.ndarray     # (N, 3) world points
+    good: jnp.ndarray      # (N,) bool — passed all gates
+
+
+@functools.partial(jax.jit, static_argnames=())
+def triangulate_and_gate(
+    T1w: jnp.ndarray, T2w: jnp.ndarray,
+    xy1: jnp.ndarray, xy2: jnp.ndarray,          # (N, 2) matched pairs
+    ur1: jnp.ndarray, ur2: jnp.ndarray,          # (N,) right-u; <0 mono
+    depth1: jnp.ndarray, depth2: jnp.ndarray,    # (N,) stereo depth; <0 none
+    octave1: jnp.ndarray, octave2: jnp.ndarray,  # (N,)
+    mask: jnp.ndarray,                           # (N,) candidate valid
+    fx, fy, cx, cy, bf,
+    scale_factors: jnp.ndarray,
+    level_sigma2: jnp.ndarray,
+) -> NewPoints:
+    """Triangulate matched keypoint pairs between two keyframes and apply
+    the reference's acceptance gates (ref: src/LocalMapping.cc:288-431):
+    parallax-based DLT-vs-stereo-unprojection choice, positive depth in
+    both views, per-view chi2 reprojection bounds (5.991 mono / 7.8
+    stereo), and scale-consistency of the distance ratio."""
+    R1, t1 = T1w[:3, :3], T1w[:3, 3]
+    R2, t2 = T2w[:3, :3], T2w[:3, 3]
+    O1 = -R1.T @ t1
+    O2 = -R2.T @ t2
+    baseline = jnp.linalg.norm(O2 - O1)
+
+    # normalized rays in world frame
+    xn1 = jnp.stack(
+        [(xy1[:, 0] - cx) / fx, (xy1[:, 1] - cy) / fy,
+         jnp.ones_like(xy1[:, 0])], -1)
+    xn2 = jnp.stack(
+        [(xy2[:, 0] - cx) / fx, (xy2[:, 1] - cy) / fy,
+         jnp.ones_like(xy2[:, 0])], -1)
+    ray1 = xn1 @ R1                      # R1^T @ xn1 rowwise
+    ray2 = xn2 @ R2
+    cos_rays = jnp.sum(ray1 * ray2, -1) / jnp.maximum(
+        jnp.linalg.norm(ray1, axis=-1) * jnp.linalg.norm(ray2, axis=-1),
+        1e-12,
+    )
+
+    has_s1 = depth1 > 0
+    has_s2 = depth2 > 0
+    cos_s1 = jnp.where(
+        has_s1, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0,
+                                          jnp.maximum(depth1, 1e-9))), 2.0)
+    cos_s2 = jnp.where(
+        has_s2, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0,
+                                          jnp.maximum(depth2, 1e-9))), 2.0)
+    cos_stereo = jnp.minimum(cos_s1, cos_s2)
+
+    use_dlt = (
+        (cos_rays < cos_stereo) & (cos_rays > 0)
+        & (has_s1 | has_s2 | (cos_rays < 0.9998))
+    )
+    use_s1 = ~use_dlt & has_s1 & (cos_s1 < cos_s2)
+    use_s2 = ~use_dlt & ~use_s1 & has_s2
+
+    # DLT triangulation with projective P = K [R|t]
+    K = jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]],
+                  xy1.dtype)
+    P1 = K @ T1w[:3, :]
+    P2 = K @ T2w[:3, :]
+    pts_dlt = triangulate_dlt(P1, P2, xy1, xy2)
+
+    # stereo unprojection fallbacks
+    z1 = jnp.maximum(depth1, 1e-9)
+    pc1 = jnp.stack(
+        [(xy1[:, 0] - cx) / fx * z1, (xy1[:, 1] - cy) / fy * z1, z1], -1)
+    pw_s1 = (pc1 - t1) @ R1              # R1^T (pc - t)
+    z2 = jnp.maximum(depth2, 1e-9)
+    pc2s = jnp.stack(
+        [(xy2[:, 0] - cx) / fx * z2, (xy2[:, 1] - cy) / fy * z2, z2], -1)
+    pw_s2 = (pc2s - t2) @ R2
+
+    pts = jnp.where(use_s1[:, None], pw_s1,
+                    jnp.where(use_s2[:, None], pw_s2, pts_dlt))
+
+    # gates
+    pc1_all = pts @ R1.T + t1
+    pc2_all = pts @ R2.T + t2
+    z1a, z2a = pc1_all[:, 2], pc2_all[:, 2]
+    pos = (z1a > 0) & (z2a > 0)
+
+    s2_1 = level_sigma2[octave1]
+    s2_2 = level_sigma2[octave2]
+
+    def reproj_err(pc, xy, ur, s2):
+        zs = jnp.maximum(pc[:, 2], 1e-9)
+        u = fx * pc[:, 0] / zs + cx
+        v = fy * pc[:, 1] / zs + cy
+        e_mono = ((u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2) / s2
+        urp = u - bf / zs
+        e_st = e_mono + (urp - ur) ** 2 / s2
+        return e_mono, e_st
+
+    e1m, e1s = reproj_err(pc1_all, xy1, ur1, s2_1)
+    e2m, e2s = reproj_err(pc2_all, xy2, ur2, s2_2)
+    chi_ok1 = jnp.where(has_s1, e1s <= 7.8, e1m <= 5.991)
+    chi_ok2 = jnp.where(has_s2, e2s <= 7.8, e2m <= 5.991)
+
+    d1 = jnp.linalg.norm(pts - O1, axis=-1)
+    d2 = jnp.linalg.norm(pts - O2, axis=-1)
+    ratio_dist = d2 / jnp.maximum(d1, 1e-12)
+    ratio_oct = scale_factors[octave1] / scale_factors[octave2]
+    scale_ok = (
+        (ratio_dist * 1.5 > ratio_oct) & (ratio_dist < ratio_oct * 1.5)
+        & (d1 > 1e-9) & (d2 > 1e-9)
+    )
+
+    good = mask & (use_dlt | use_s1 | use_s2) & pos \
+        & chi_ok1 & chi_ok2 & scale_ok
+    return NewPoints(pts, good)
+
+
+def fundamental_from_poses(T1w, T2w, K1, K2):
+    """F12 = K1^-T [t12]x R12 K2^-1 (ref: LocalMapping::ComputeF12
+    src/LocalMapping.cc:536-554)."""
+    R1, t1 = T1w[:3, :3], T1w[:3, 3]
+    R2, t2 = T2w[:3, :3], T2w[:3, 3]
+    R12 = R1 @ R2.T
+    t12 = -R12 @ t2 + t1
+    tx = jnp.array(
+        [[0.0, -t12[2], t12[1]],
+         [t12[2], 0.0, -t12[0]],
+         [-t12[1], t12[0], 0.0]], T1w.dtype)
+    return jnp.linalg.inv(K1).T @ tx @ R12 @ jnp.linalg.inv(K2)

@@ -1,0 +1,208 @@
+"""System: the public API facade.
+
+Equivalent of ORB_SLAM2::System (ref: src/System.cc:33-678 /
+include/System.h:61-136): builds the map, frame builder, tracker, local
+mapper and loop closer, wires them together, exposes per-frame Track*
+entries, the SLAM/localization mode switch, reset/shutdown, and all the
+trajectory / map savers including the fork's grid-map outputs.
+
+Scheduling: the reference spawns LocalMapping/LoopClosing/Viewer
+threads (src/System.cc:85-104); here `scheduler="sync"` (default) runs
+mapping + loop closing deterministically inline after each keyframe —
+the testing mode SURVEY §4.4 calls for — and `scheduler="async"` moves
+them to a worker thread with the same queue semantics.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from orb_slam2_tpu.config import Sensor, Settings
+from orb_slam2_tpu.io import trajectory as traj_io
+from orb_slam2_tpu.slam.frame import FrameBuilder
+from orb_slam2_tpu.slam.local_mapping import LocalMapper
+from orb_slam2_tpu.slam.map_store import MapStore
+from orb_slam2_tpu.slam.tracking import State, Tracker
+
+
+class System:
+    def __init__(
+        self,
+        settings: Settings,
+        sensor: Sensor,
+        vocabulary=None,
+        scheduler: Optional[str] = None,
+    ):
+        if isinstance(settings, str):
+            settings = Settings.from_yaml(settings)
+        self.settings = settings
+        self.sensor = sensor
+        self.vocabulary = vocabulary
+
+        self.builder = FrameBuilder(settings, vocabulary)
+        n_pad = self._padded_features()
+        self.store = MapStore(n_pad)
+
+        self.kf_database = None
+        self.loop_closer = None
+        if vocabulary is not None:
+            from orb_slam2_tpu.places.database import KeyFrameDatabase
+            from orb_slam2_tpu.slam.loop_closing import LoopCloser
+
+            self.kf_database = KeyFrameDatabase(vocabulary)
+            self.loop_closer = LoopCloser(
+                settings, sensor, self.store, self.kf_database,
+            )
+        self.local_mapper = LocalMapper(
+            settings, sensor, self.store, loop_closer=self.loop_closer
+        )
+        if self.loop_closer is not None:
+            self.loop_closer.local_mapper = self.local_mapper
+
+        relocalizer = None
+        if self.kf_database is not None:
+            from orb_slam2_tpu.slam.relocalization import Relocalizer
+
+            relocalizer = Relocalizer(settings, self.store, self.kf_database)
+
+        self.tracker = Tracker(
+            settings, sensor, self.store, self.builder,
+            local_mapper=self.local_mapper,
+            kf_database=self.kf_database,
+            relocalizer=relocalizer,
+        )
+
+        self.scheduler = scheduler or settings.scheduler
+        self._shutdown = False
+        self._worker: Optional[threading.Thread] = None
+        self._work_event = threading.Event()
+        if self.scheduler == "async":
+            self._worker = threading.Thread(
+                target=self._worker_loop, daemon=True
+            )
+            self._worker.start()
+
+    def _padded_features(self) -> int:
+        from orb_slam2_tpu.ops.frontend import padded_total
+
+        n = padded_total(
+            self.settings.n_features * 2,   # mono-init boost headroom
+            self.settings.n_levels, self.settings.scale_factor,
+        )
+        n_plain = padded_total(
+            self.settings.n_features,
+            self.settings.n_levels, self.settings.scale_factor,
+        )
+        return n if self.sensor == Sensor.MONOCULAR else n_plain
+
+    # ------------------------------------------------------------------
+    # per-frame entries (ref: System::Track* src/System.cc:117-283)
+    # ------------------------------------------------------------------
+    def track_monocular(self, img: np.ndarray, timestamp: float):
+        if self.sensor == Sensor.MONOCULAR:
+            # mono frames vary padded size during init: rebuild store pad
+            pass
+        T = self.tracker.grab_monocular(img, timestamp)
+        self._pump()
+        return T
+
+    def track_stereo(self, img_l, img_r, timestamp: float):
+        T = self.tracker.grab_stereo(img_l, img_r, timestamp)
+        self._pump()
+        return T
+
+    def track_rgbd(self, img, depth, timestamp: float):
+        T = self.tracker.grab_rgbd(img, depth, timestamp)
+        self._pump()
+        return T
+
+    def _pump(self):
+        if self.scheduler == "sync":
+            self.local_mapper.spin()
+            if self.loop_closer is not None:
+                self.loop_closer.spin()
+        else:
+            self._work_event.set()
+
+    def _worker_loop(self):
+        while not self._shutdown:
+            self._work_event.wait(timeout=0.003)
+            self._work_event.clear()
+            self.local_mapper.spin()
+            if self.loop_closer is not None:
+                self.loop_closer.spin()
+
+    # ------------------------------------------------------------------
+    # mode switches / state (ref: src/System.cc:126-158, 286-303, 655-676)
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        self.tracker.set_localization_mode(True)
+
+    def deactivate_localization_mode(self):
+        self.tracker.set_localization_mode(False)
+
+    def map_changed(self) -> bool:
+        idx = self.store.big_change_idx
+        changed = getattr(self, "_last_big_change", 0) < idx
+        self._last_big_change = idx
+        return changed
+
+    def reset(self):
+        self.tracker.reset()
+        self.store = self.tracker.store
+
+    def shutdown(self):
+        self._shutdown = True
+        if self._worker is not None:
+            self._work_event.set()
+            self._worker.join(timeout=5.0)
+
+    def tracking_state(self) -> State:
+        return self.tracker.state
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        f = self.tracker.current
+        if f is None:
+            return np.zeros(0, np.int64)
+        return f.bindings[f.bindings >= 0]
+
+    # ------------------------------------------------------------------
+    # savers (ref: src/System.cc:326-653)
+    # ------------------------------------------------------------------
+    def save_trajectory_tum(self, path: str):
+        traj_io.save_trajectory_tum(self.store, self.tracker.trajectory, path)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        traj_io.save_keyframe_trajectory_tum(self.store, path)
+
+    def save_trajectory_kitti(self, path: str):
+        traj_io.save_trajectory_kitti(self.store, self.tracker.trajectory, path)
+
+    def save_map_points_obj(self, path: str):
+        self.store.export_points_obj(path)
+
+    def save_map_with_timestamps(self, path: str):
+        self.store.export_points_with_timestamps(path)
+
+    def save_grid_map_tum(self, path: str):
+        """Fork feature (ref: System::SaveGridMapTUM src/System.cc:481-629)."""
+        from orb_slam2_tpu.mapping2d.gridmap import save_grid_map_pgm
+
+        save_grid_map_pgm(self.store, path)
+
+    def save_2d_map_points_tum(self, path: str):
+        """Fork feature (ref: System::Save2dMapPointsTUM src/System.cc:631)."""
+        with open(path, "w") as f:
+            for pid in self.store.valid_pt_ids():
+                x, _, z = self.store.pt_pos[pid]
+                f.write(f"{x} {z}\n")
+
+    def save_map(self, path: str):
+        self.store.save(path)
+
+    @property
+    def map(self) -> MapStore:
+        return self.store

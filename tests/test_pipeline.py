@@ -1,0 +1,191 @@
+"""Integration tests: full SLAM pipeline on synthetic scenes.
+
+The reference has no test suite (SURVEY §4); these are the
+"multi-node-without-a-cluster" style deterministic integration tests the
+survey prescribes: synchronous scheduler, synthetic plane scene with
+exact ground truth."""
+
+import numpy as np
+import pytest
+
+from orb_slam2_tpu.config import Sensor, Settings
+from orb_slam2_tpu.system import System
+
+from synthetic import PlaneScene, stereo_sequence, straight_trajectory
+
+H, W = 240, 320
+FX = FY = 260.0
+BASELINE = 0.1
+
+
+def make_settings(**kw):
+    base = dict(
+        fx=FX, fy=FY, cx=W / 2, cy=H / 2, bf=FX * BASELINE,
+        width=W, height=H, n_features=800, fps=10.0, th_depth=40.0,
+    )
+    base.update(kw)
+    return Settings(**base)
+
+
+def center_of(T):
+    return -T[:3, :3].T @ T[:3, 3]
+
+
+@pytest.fixture(scope="module")
+def stereo_run():
+    settings = make_settings()
+    poses = straight_trajectory(10, step=0.03, yaw_step=0.002)
+    scene, pairs = stereo_sequence(settings.K, H, W, BASELINE, poses)
+    sys_ = System(settings, Sensor.STEREO)
+    est = []
+    for i, (l, r) in enumerate(pairs):
+        T = sys_.track_stereo(l, r, i * 0.1)
+        est.append(None if T is None else T.copy())
+    return sys_, poses, est
+
+
+class TestStereoPipeline:
+    def test_initializes_first_frame(self, stereo_run):
+        sys_, poses, est = stereo_run
+        assert est[0] is not None
+        assert int(sys_.map.kf_valid.sum()) >= 1
+        assert int(sys_.map.pt_valid.sum()) > 300
+
+    def test_tracks_all_frames(self, stereo_run):
+        sys_, poses, est = stereo_run
+        assert all(T is not None for T in est)
+        assert sys_.tracking_state().name == "OK"
+
+    def test_trajectory_accuracy(self, stereo_run):
+        sys_, poses, est = stereo_run
+        errs = [
+            np.linalg.norm(center_of(T) - center_of(G))
+            for T, G in zip(est, poses) if T is not None
+        ]
+        assert max(errs) < 0.06, f"max position error {max(errs):.3f} m"
+
+    def test_trajectory_writers(self, stereo_run, tmp_path):
+        sys_, _, _ = stereo_run
+        tum = tmp_path / "traj_tum.txt"
+        kitti = tmp_path / "traj_kitti.txt"
+        kf = tmp_path / "kf_tum.txt"
+        sys_.save_trajectory_tum(str(tum))
+        sys_.save_trajectory_kitti(str(kitti))
+        sys_.save_keyframe_trajectory_tum(str(kf))
+        rows = np.loadtxt(tum)
+        assert rows.shape[1] == 8
+        rows_k = np.loadtxt(kitti)
+        assert rows_k.shape[1] == 12
+        # first pose ~ identity (world = first camera)
+        np.testing.assert_allclose(
+            rows_k[0].reshape(3, 4)[:, :3], np.eye(3), atol=1e-3
+        )
+
+    def test_map_save_load_roundtrip(self, stereo_run, tmp_path):
+        sys_, _, _ = stereo_run
+        from orb_slam2_tpu.slam.map_store import MapStore
+
+        path = tmp_path / "map.bin"
+        sys_.map.save(str(path))
+        m2 = MapStore.load(str(path))
+        assert m2.n_kf == sys_.map.n_kf
+        assert m2.n_pt == sys_.map.n_pt
+        np.testing.assert_array_equal(
+            m2.pt_pos[: m2.n_pt], sys_.map.pt_pos[: sys_.map.n_pt]
+        )
+        np.testing.assert_array_equal(m2.kf_obs, sys_.map.kf_obs)
+
+    def test_map_point_export(self, stereo_run, tmp_path):
+        sys_, _, _ = stereo_run
+        p = tmp_path / "pts.obj"
+        sys_.save_map_points_obj(str(p))
+        lines = open(p).read().strip().splitlines()
+        assert len(lines) == int(sys_.map.pt_valid.sum())
+        assert all(ln.startswith("v ") for ln in lines)
+
+
+class TestRGBDPipeline:
+    def test_rgbd_tracks(self):
+        settings = make_settings()
+        poses = straight_trajectory(6, step=0.03, yaw_step=0.002)
+        scene = PlaneScene(settings.K, H, W)
+        sys_ = System(settings, Sensor.RGBD)
+        est = []
+        for i, T in enumerate(poses):
+            img = scene.render(T)
+            depth = scene.depth_at(T)
+            Te = sys_.track_rgbd(img, depth, i * 0.1)
+            est.append(Te)
+        assert est[-1] is not None
+        err = np.linalg.norm(center_of(est[-1]) - center_of(poses[-1]))
+        assert err < 0.06
+
+
+class TestMapStore:
+    def _store(self):
+        from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
+
+        n = 8
+        m = MapStore(n, kf_cap=4, pt_cap=16)
+        ff = FrameFeatures(
+            xy=np.zeros((n, 2), np.float32),
+            xy_raw=np.zeros((n, 2), np.float32),
+            ur=np.full(n, -1.0, np.float32),
+            depth=np.full(n, -1.0, np.float32),
+            octave=np.zeros(n, np.int32),
+            angle=np.zeros(n, np.float32),
+            desc=np.random.default_rng(0).integers(
+                0, 2 ** 32, (n, 8)).astype(np.uint32),
+            valid=np.ones(n, bool),
+            node=np.full(n, -1, np.int32),
+            word=np.full(n, -1, np.int32),
+        )
+        return m, ff
+
+    def test_observation_lifecycle(self):
+        m, ff = self._store()
+        k0 = m.add_keyframe(ff, np.eye(4, dtype=np.float32), 0.0, 0)
+        k1 = m.add_keyframe(ff, np.eye(4, dtype=np.float32), 1.0, 1)
+        p = m.add_point(np.zeros(3), k0, ff.desc[0])
+        m.add_observation(p, k0, 0)
+        m.add_observation(p, k1, 3)
+        assert m.pt_n_obs[p] == 2
+        assert m.kf_obs[k0, 0] == p and m.kf_obs[k1, 3] == p
+        m.erase_observation(p, k0)
+        # <= 2 obs -> point dies (mono counting)
+        assert not m.pt_valid[p]
+        assert m.kf_obs[k1, 3] == -1
+
+    def test_replace_point(self):
+        m, ff = self._store()
+        k0 = m.add_keyframe(ff, np.eye(4, dtype=np.float32), 0.0, 0)
+        k1 = m.add_keyframe(ff, np.eye(4, dtype=np.float32), 1.0, 1)
+        k2 = m.add_keyframe(ff, np.eye(4, dtype=np.float32), 2.0, 2)
+        a = m.add_point(np.zeros(3), k0, ff.desc[0])
+        b = m.add_point(np.ones(3), k0, ff.desc[1])
+        for kf, feat in ((k0, 0), (k1, 1), (k2, 2)):
+            m.add_observation(a, kf, feat)
+        m.add_observation(b, k0, 5)
+        m.replace_point(b, a)
+        assert not m.pt_valid[b]
+        assert m.resolve_replaced(b) == a
+        # k0 already observes `a` at feature 0, so the duplicate slot is
+        # cleared rather than rebound (ref: MapPoint::Replace
+        # src/MapPoint.cc:177-240 IsInKeyFrame branch)
+        assert m.kf_obs[k0, 5] == -1
+        assert m.pt_obs[a][k0] == 0
+
+    def test_covisibility_and_spanning_tree(self):
+        m, ff = self._store()
+        k0 = m.add_keyframe(ff, np.eye(4, dtype=np.float32), 0.0, 0)
+        k1 = m.add_keyframe(ff, np.eye(4, dtype=np.float32), 1.0, 1)
+        m.origin_kf = k0
+        for i in range(6):
+            p = m.add_point(np.zeros(3), k0, ff.desc[i])
+            m.add_observation(p, k0, i)
+            m.add_observation(p, k1, i)
+        m.update_connections(k1, min_weight=3)
+        assert m.covis[k1][k0] == 6
+        assert m.covis[k0][k1] == 6
+        assert m.kf_parent[k1] == k0
+        assert k1 in m.kf_children[k0]
