@@ -1,0 +1,68 @@
+"""Benchmark: stereo SLAM tracking FPS on a KITTI-shaped synthetic scene.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference must keep up with KITTI's 10 fps dataset rate
+(BASELINE.md; Examples/Stereo/KITTI00-02.yaml:22) on an i7-class CPU;
+the rebuild's north star is >30 FPS on one TPU chip (BASELINE.json).
+vs_baseline is measured FPS / 10 (the dataset rate the reference is
+specified against).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    from orb_slam2_tpu.config import Sensor, Settings
+    from orb_slam2_tpu.system import System
+    from synthetic import stereo_sequence, straight_trajectory
+
+    # KITTI-00 stereo geometry (Examples/Stereo/KITTI00-02.yaml)
+    H, W = 376, 1240
+    FX = FY = 718.856
+    CX, CY = 607.19, 185.22
+    BF = 386.1448
+    settings = Settings(
+        fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
+        n_features=2000, fps=10.0, th_depth=35.0,
+    )
+    n_frames = 20
+    poses = straight_trajectory(n_frames, step=0.8, yaw_step=0.002)
+    scene, pairs = stereo_sequence(settings.K, H, W, BF / FX, poses)
+
+    sys_ = System(settings, Sensor.STEREO)
+    times = []
+    for i, (l, r) in enumerate(pairs):
+        t0 = time.perf_counter()
+        sys_.track_stereo(l, r, i * 0.1)
+        times.append(time.perf_counter() - t0)
+
+    # steady-state: skip the first 3 frames (compile + init)
+    steady = sorted(times[3:])
+    median = steady[len(steady) // 2]
+    fps = 1.0 / median
+    print(json.dumps({
+        "metric": "kitti_shape_stereo_tracking_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec (median, 1240x376 stereo, 2000 ORB features)",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

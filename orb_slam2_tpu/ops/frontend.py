@@ -116,3 +116,47 @@ def extract(
         desc = jnp.concatenate([desc, jnp.zeros((pad, 8), desc.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
     return Features(xy, resp, octv, ang, desc, valid)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_features", "n_levels", "scale_factor", "ini_th", "min_th", "cell"
+    ),
+)
+def extract_stereo_pair(
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    scale_factors: jnp.ndarray,
+    bf: float,
+    max_disp: float,
+    n_features: int = 1000,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    ini_th: int = 20,
+    min_th: int = 7,
+    cell: int = 24,
+):
+    """Fused stereo frame construction: both ORB extractions + row-search
+    stereo matching + SAD subpixel + median sweep in ONE compiled call.
+
+    The reference runs left/right extraction on two threads then matches
+    (ref: src/Frame.cc:78-81, 466-641); on TPU one fused graph avoids all
+    intermediate host round-trips.
+    """
+    from orb_slam2_tpu.ops import stereo as stereo_ops
+
+    fl = extract.__wrapped__(
+        img_l, n_features, n_levels, scale_factor, ini_th, min_th, cell
+    )
+    fr = extract.__wrapped__(
+        img_r, n_features, n_levels, scale_factor, ini_th, min_th, cell
+    )
+    m = stereo_ops.match(
+        fl.xy, fl.octave, fl.desc, fl.valid,
+        fr.xy, fr.octave, fr.desc, fr.valid,
+        img_l.astype(jnp.float32), img_r.astype(jnp.float32),
+        scale_factors, bf, 0.0, max_disp,
+    )
+    m = stereo_ops.median_sad_filter(m)
+    return fl, m

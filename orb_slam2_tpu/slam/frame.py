@@ -141,16 +141,17 @@ class FrameBuilder:
                 jnp.asarray(img_l), jnp.asarray(mxl), jnp.asarray(myl)))
             img_r = np.asarray(cam.remap_bilinear(
                 jnp.asarray(img_r), jnp.asarray(mxr), jnp.asarray(myr)))
-        fl = self._extract(img_l, self.s.n_features)
-        fr = self._extract(img_r, self.s.n_features)
-        matches = stereo.match(
-            fl.xy, fl.octave, fl.desc, fl.valid,
-            fr.xy, fr.octave, fr.desc, fr.valid,
-            jnp.asarray(img_l, jnp.float32), jnp.asarray(img_r, jnp.float32),
+        fl, matches = frontend.extract_stereo_pair(
+            jnp.asarray(img_l), jnp.asarray(img_r),
             jnp.asarray(self.scale_factors),
-            self.s.bf, 0.0, self.s.bf / 2.0,
+            # maxD = bf / minZ with minZ = baseline (ref: Frame.cc:475-477)
+            jnp.float32(self.s.bf), jnp.float32(self.s.fx),
+            n_features=self.s.n_features,
+            n_levels=self.s.n_levels,
+            scale_factor=self.s.scale_factor,
+            ini_th=self.s.ini_th_fast,
+            min_th=self.s.min_th_fast,
         )
-        matches = stereo.median_sad_filter(matches)
         ff = self._base_features(fl, fl.n)
         ff.ur = np.asarray(matches.u_right, np.float32)
         ff.depth = np.asarray(matches.depth, np.float32)
