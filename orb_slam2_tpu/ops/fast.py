@@ -153,6 +153,7 @@ def select_topk_grid(
     cur = cells
     base_y = (jnp.arange(ch * cw) // cw) * cell
     base_x = (jnp.arange(ch * cw) % cw) * cell
+    lane = jnp.arange(cell * cell)[None, :]
     for _ in range(per_cell):
         idx = jnp.argmax(cur, axis=1)                # (C,)
         val = jnp.take_along_axis(cur, idx[:, None], axis=1)[:, 0]
@@ -160,7 +161,8 @@ def select_topk_grid(
         dx = idx % cell
         cand_scores.append(val)
         cand_flat_idx.append(jnp.stack([base_x + dx, base_y + dy], -1))
-        cur = cur.at[jnp.arange(ch * cw), idx].set(0.0)
+        # mask out the taken element (broadcast compare beats a scatter)
+        cur = jnp.where(lane == idx[:, None], 0.0, cur)
 
     scores = jnp.concatenate(cand_scores)            # (C*per_cell,)
     xy = jnp.concatenate(cand_flat_idx)              # (C*per_cell, 2)

@@ -26,7 +26,6 @@ from orb_slam2_tpu.ops import hamming
 
 TH_LOW = hamming.TH_LOW     # 50,  ref: src/ORBmatcher.cc:38
 TH_HIGH = hamming.TH_HIGH   # 100, ref: src/ORBmatcher.cc:37
-BIG = jnp.float32(1e9)
 
 
 class Matches(NamedTuple):
@@ -642,3 +641,17 @@ def search_by_sim3_mutual(
     # mutual agreement (ref :1296-1306)
     agree = ok12 & ok21[idx12] & (idx21[idx12] == jnp.arange(idx12.shape[0]))
     return jnp.where(agree, idx12, -1), agree
+
+
+def to_host(m: Matches):
+    """Pull a Matches result with ONE device->host transfer (the tunnel
+    to a remote TPU makes each pull latency-bound; pack then split)."""
+    import numpy as np
+
+    packed = jnp.concatenate(
+        [m.idx.astype(jnp.int32), m.dist.astype(jnp.int32),
+         m.ok.astype(jnp.int32)]
+    )
+    arr = np.asarray(packed)
+    q = arr.shape[0] // 3
+    return arr[:q], arr[q:2 * q], arr[2 * q:] > 0

@@ -73,22 +73,27 @@ class Vocabulary:
 
     # ------------------------------------------------------------------
     def _build_descend(self):
-        children = jnp.asarray(self.node_children)
-        node_desc = jnp.asarray(self.node_desc)
+        # numpy closures: inlined as program constants (a jnp closure would
+        # force the axon runtime into slow synchronous dispatch — see
+        # memory axon-jnp-closure-constants)
+        children = self.node_children
+        node_desc = self.node_desc
         L = self.L
         levels_up = self.levels_up
 
         @jax.jit
         def descend(desc: jnp.ndarray, valid: jnp.ndarray):
             """(N,8)u32 -> (node_at_L-levels_up (N,), leaf (N,))."""
+            children_c = jnp.asarray(children)
+            node_desc_c = jnp.asarray(node_desc)
             n = desc.shape[0]
             cur = jnp.zeros(n, jnp.int32)     # root = node 0
             stop_level = max(L - levels_up, 0)
             node_mid = jnp.zeros(n, jnp.int32)
             for level in range(L):
-                ch = children[cur]                        # (N, k)
+                ch = children_c[cur]                      # (N, k)
                 ch_valid = ch >= 0
-                cd = node_desc[jnp.maximum(ch, 0)]        # (N, k, 8)
+                cd = node_desc_c[jnp.maximum(ch, 0)]      # (N, k, 8)
                 d = jnp.sum(
                     jax.lax.population_count(
                         jnp.bitwise_xor(cd, desc[:, None, :])

@@ -77,9 +77,16 @@ class FrameBuilder:
         if settings.rectification is not None:
             self._rect = cam.rectify_maps(settings.rectification)
 
+    def _upload(self, img: np.ndarray) -> jnp.ndarray:
+        """Host->device image upload as uint8 (4x less tunnel traffic than
+        f32; the frontend casts on device)."""
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        return jnp.asarray(img)
+
     def _extract(self, img: np.ndarray, n_features: int):
         return frontend.extract(
-            jnp.asarray(img),
+            self._upload(img),
             n_features=n_features,
             n_levels=self.s.n_levels,
             scale_factor=self.s.scale_factor,
@@ -87,25 +94,56 @@ class FrameBuilder:
             min_th=self.s.min_th_fast,
         )
 
-    def _base_features(self, feats, n: int) -> FrameFeatures:
-        xy_raw = np.asarray(feats.xy)
+    def _base_features(self, feats, n: int, ur_dev=None,
+                       depth_dev=None) -> FrameFeatures:
+        xy_dev = feats.xy.astype(jnp.float32)
         if self.dist is not None:
-            xy = np.asarray(
-                cam.undistort_points(feats.xy, self.intr, self.dist)
-            )
+            xy_dev = cam.undistort_points(xy_dev, self.intr, self.dist)
+        dev = {
+            "xy": xy_dev,
+            "octave": feats.octave,
+            "angle": feats.angle,
+            "desc": feats.desc,
+            "valid": feats.valid,
+        }
+        # pack every float-compatible field into ONE device->host pull
+        # (remote-TPU tunnels are latency-bound per transfer)
+        parts = [
+            xy_dev.reshape(-1),
+            feats.xy.astype(jnp.float32).reshape(-1),
+            feats.angle.astype(jnp.float32),
+            feats.octave.astype(jnp.float32),
+            feats.valid.astype(jnp.float32),
+        ]
+        if ur_dev is not None:
+            dev["ur"] = ur_dev
+            dev["depth"] = depth_dev
+            parts += [ur_dev.astype(jnp.float32),
+                      depth_dev.astype(jnp.float32)]
+        packed = np.asarray(jnp.concatenate(parts))
+        xy = packed[:2 * n].reshape(n, 2)
+        xy_raw = packed[2 * n:4 * n].reshape(n, 2)
+        angle = packed[4 * n:5 * n]
+        octave = packed[5 * n:6 * n].astype(np.int32)
+        valid = packed[6 * n:7 * n] > 0.5
+        if ur_dev is not None:
+            ur = packed[7 * n:8 * n].astype(np.float32)
+            depth = packed[8 * n:9 * n].astype(np.float32)
         else:
-            xy = xy_raw
+            ur = np.full(n, -1.0, np.float32)
+            depth = np.full(n, -1.0, np.float32)
         return FrameFeatures(
             xy=xy.astype(np.float32),
             xy_raw=xy_raw.astype(np.float32),
-            ur=np.full(n, -1.0, np.float32),
-            depth=np.full(n, -1.0, np.float32),
-            octave=np.asarray(feats.octave, np.int32),
-            angle=np.asarray(feats.angle, np.float32),
+            ur=ur,
+            depth=depth,
+            octave=octave,
+            angle=angle.astype(np.float32),
             desc=np.asarray(feats.desc, np.uint32),
-            valid=np.asarray(feats.valid, bool),
+            valid=valid,
             node=np.full(n, -1, np.int32),
             word=np.full(n, -1, np.int32),
+            dev=dev,
         )
 
     def _assign_bow(self, ff: FrameFeatures):
@@ -142,7 +180,7 @@ class FrameBuilder:
             img_r = np.asarray(cam.remap_bilinear(
                 jnp.asarray(img_r), jnp.asarray(mxr), jnp.asarray(myr)))
         fl, matches = frontend.extract_stereo_pair(
-            jnp.asarray(img_l), jnp.asarray(img_r),
+            self._upload(img_l), self._upload(img_r),
             jnp.asarray(self.scale_factors),
             # maxD = bf / minZ with minZ = baseline (ref: Frame.cc:475-477)
             jnp.float32(self.s.bf), jnp.float32(self.s.fx),
@@ -152,9 +190,8 @@ class FrameBuilder:
             ini_th=self.s.ini_th_fast,
             min_th=self.s.min_th_fast,
         )
-        ff = self._base_features(fl, fl.n)
-        ff.ur = np.asarray(matches.u_right, np.float32)
-        ff.depth = np.asarray(matches.depth, np.float32)
+        ff = self._base_features(fl, fl.n, ur_dev=matches.u_right,
+                                 depth_dev=matches.depth)
         self._assign_bow(ff)
         return self._make(ff, timestamp)
 
@@ -166,11 +203,9 @@ class FrameBuilder:
         if abs(factor - 1.0) > 1e-9 and factor != 0:
             factor = 1.0 / factor
         ur, depth = stereo.depth_from_rgbd(
-            feats.xy, feats.valid, jnp.asarray(depth_img, jnp.float32),
+            feats.xy, feats.valid, jnp.asarray(depth_img),
             factor, self.s.bf,
         )
-        ff = self._base_features(feats, feats.n)
-        ff.ur = np.asarray(ur, np.float32)
-        ff.depth = np.asarray(depth, np.float32)
+        ff = self._base_features(feats, feats.n, ur_dev=ur, depth_dev=depth)
         self._assign_bow(ff)
         return self._make(ff, timestamp)

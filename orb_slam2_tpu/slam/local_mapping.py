@@ -168,34 +168,31 @@ class LocalMapper:
 
             free2 = store.kf_feat_valid[kf2] & (store.kf_obs[kf2] < 0)
             m = matching.search_for_triangulation(
-                jnp.asarray(store.kf_xy[kf]), jnp.asarray(store.kf_ur[kf]),
-                jnp.asarray(store.kf_octave[kf]),
-                jnp.asarray(store.kf_desc[kf]),
-                jnp.asarray(store.kf_node[kf]),
-                jnp.asarray(store.kf_angle[kf]), jnp.asarray(free1),
-                jnp.asarray(store.kf_xy[kf2]), jnp.asarray(store.kf_ur[kf2]),
-                jnp.asarray(store.kf_octave[kf2]),
-                jnp.asarray(store.kf_desc[kf2]),
-                jnp.asarray(store.kf_node[kf2]),
-                jnp.asarray(store.kf_angle[kf2]), jnp.asarray(free2),
+                store.kf_device(kf, "xy"), store.kf_device(kf, "ur"),
+                store.kf_device(kf, "octave"), store.kf_device(kf, "desc"),
+                store.kf_device(kf, "node"), store.kf_device(kf, "angle"),
+                jnp.asarray(free1),
+                store.kf_device(kf2, "xy"), store.kf_device(kf2, "ur"),
+                store.kf_device(kf2, "octave"), store.kf_device(kf2, "desc"),
+                store.kf_device(kf2, "node"), store.kf_device(kf2, "angle"),
+                jnp.asarray(free2),
                 F12, jnp.asarray(np.array([ex, ey], np.float32)),
                 self._sf_dev, self._ls2_dev,
             )
-            ok = np.asarray(m.ok)
-            idx = np.asarray(m.idx)
+            idx, _, ok = matching.to_host(m)
             if not ok.any():
                 continue
-            xy2 = store.kf_xy[kf2][idx]
             res = tri.triangulate_and_gate(
                 jnp.asarray(T1), jnp.asarray(T2),
-                jnp.asarray(store.kf_xy[kf]), jnp.asarray(xy2),
-                jnp.asarray(store.kf_ur[kf]),
-                jnp.asarray(store.kf_ur[kf2][idx]),
-                jnp.asarray(store.kf_depth[kf]),
-                jnp.asarray(store.kf_depth[kf2][idx]),
-                jnp.asarray(store.kf_octave[kf]),
-                jnp.asarray(store.kf_octave[kf2][idx]),
-                jnp.asarray(ok),
+                store.kf_device(kf, "xy"),
+                store.kf_device(kf2, "xy")[m.idx],
+                store.kf_device(kf, "ur"),
+                store.kf_device(kf2, "ur")[m.idx],
+                store.kf_device(kf, "depth"),
+                store.kf_device(kf2, "depth")[m.idx],
+                store.kf_device(kf, "octave"),
+                store.kf_device(kf2, "octave")[m.idx],
+                m.ok,
                 jnp.float32(self.s.fx), jnp.float32(self.s.fy),
                 jnp.float32(self.s.cx), jnp.float32(self.s.cy),
                 jnp.float32(self.s.bf),
@@ -241,11 +238,11 @@ class LocalMapper:
             jnp.asarray(pad_rows(store.pt_min_dist[pids], M)),
             jnp.asarray(pad_rows(store.pt_max_dist[pids], M)),
             jnp.asarray(store.kf_pose[target_kf]),
-            jnp.asarray(store.kf_xy[target_kf]),
-            jnp.asarray(store.kf_ur[target_kf]),
-            jnp.asarray(store.kf_octave[target_kf]),
-            jnp.asarray(store.kf_desc[target_kf]),
-            jnp.asarray(store.kf_feat_valid[target_kf]),
+            store.kf_device(target_kf, "xy"),
+            store.kf_device(target_kf, "ur"),
+            store.kf_device(target_kf, "octave"),
+            store.kf_device(target_kf, "desc"),
+            store.kf_device(target_kf, "valid"),
             jnp.float32(self.s.fx), jnp.float32(self.s.fy),
             jnp.float32(self.s.cx), jnp.float32(self.s.cy),
             jnp.float32(self.s.bf),

@@ -36,7 +36,11 @@ def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 @dataclass
 class FrameFeatures:
     """Per-frame fixed-shape feature block (device extraction output,
-    pulled to host once per frame)."""
+    pulled to host once per frame).
+
+    `dev`, when present, holds device-resident copies of the hot fields
+    (xy, ur, octave, angle, desc, valid, node) so matcher calls reuse
+    them instead of re-uploading over PCIe/tunnel every call."""
 
     xy: np.ndarray        # (N, 2) f32 undistorted level-0 coords
     xy_raw: np.ndarray    # (N, 2) f32 raw (distorted) coords
@@ -48,10 +52,21 @@ class FrameFeatures:
     valid: np.ndarray     # (N,) bool
     node: np.ndarray      # (N,) i32 BoW node id (-1 before assignment)
     word: np.ndarray      # (N,) i32 BoW word (leaf) id (-1 before)
+    dev: Optional[dict] = None
 
     @property
     def n(self) -> int:
         return self.xy.shape[0]
+
+    def device(self, key: str):
+        """Device array for a field, uploading+caching on first use."""
+        import jax.numpy as jnp
+
+        if self.dev is None:
+            self.dev = {}
+        if key not in self.dev:
+            self.dev[key] = jnp.asarray(getattr(self, key))
+        return self.dev[key]
 
 
 def _resize_features(f: FrameFeatures, n: int) -> FrameFeatures:
@@ -124,6 +139,20 @@ class MapStore:
         # big-change counter (ref: Map::InformNewBigChange src/Map.cc:70)
         self.big_change_idx = 0
         self.origin_kf = 0
+
+        # device-side cache of immutable per-KF feature blocks
+        self.kf_dev: Dict[int, dict] = {}
+
+    def kf_device(self, kf: int, key: str):
+        """Device array for a keyframe feature field, cached (features are
+        immutable after insertion, so the upload happens at most once)."""
+        import jax.numpy as jnp
+
+        cache = self.kf_dev.setdefault(kf, {})
+        if key not in cache:
+            attr = "kf_feat_valid" if key == "valid" else "kf_" + key
+            cache[key] = jnp.asarray(getattr(self, attr)[kf])
+        return cache[key]
 
     # ------------------------------------------------------------------
     # capacity management
@@ -217,6 +246,9 @@ class MapStore:
         self.covis[kf] = {}
         self.kf_children[kf] = set()
         self.kf_loop_edges[kf] = set()
+        if feats.dev and feats.n == self.n_feat:
+            # adopt the frame's device-resident feature block: zero-copy
+            self.kf_dev[kf] = dict(feats.dev)
         if bindings is not None:
             for feat in np.nonzero(bindings >= 0)[0]:
                 pid = int(bindings[feat])
@@ -471,6 +503,7 @@ class MapStore:
             self.kf_children.get(parent, set()).discard(kf)
         self.kf_children[kf] = set()
         self.kf_valid[kf] = False
+        self.kf_dev.pop(kf, None)
 
     def set_not_erase(self, kf: int, flag: bool):
         """ref: KeyFrame::SetNotErase/SetErase deferred deletion."""

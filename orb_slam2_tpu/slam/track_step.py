@@ -1,0 +1,312 @@
+"""The fused per-frame tracking step: ONE compiled XLA program.
+
+The reference spreads per-frame work over dozens of sequential calls
+(extract, stereo match, SearchByProjection, PoseOptimization x2,
+SearchLocalPoints...; SURVEY §3.2).  Every separate device call costs a
+host<->device round trip — fatal over a remote-TPU tunnel and still
+wasteful locally.  Here the WHOLE steady-state tracking step is one
+jitted graph:
+
+    images -> ORB extract (+stereo match) -> motion-model matching
+    against the last frame's points -> pose LM (4x10, Huber, chi2) ->
+    frustum projection + window matching of the local-map candidates ->
+    pose LM again -> packed outputs
+
+One dispatch, one device->host sync per frame.  Host keeps only
+decisions (keyframe policy, fallbacks) and map bookkeeping.
+
+The local-map candidate set is prepared by the host from the PREVIOUS
+frame's local map (one frame stale).  The reference recomputes the local
+window mid-frame from the motion-model matches (src/Tracking.cc:1232);
+with covisibility-stable motion the stale window is near-identical, and
+the host refreshes it right after each frame.  Fallback paths
+(reference-KF tracking, relocalization, initialization) stay on the
+modular slow path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_tpu.ops import frontend, hamming
+from orb_slam2_tpu.solvers import pose_lm
+
+
+class TrackOut(NamedTuple):
+    """Device outputs of one fused tracking step: everything float-packable
+    in one array (single d2h sync) plus the u32 descriptors."""
+
+    f32_pack: jnp.ndarray     # see unpack_track_out for layout
+    desc: jnp.ndarray         # (N,8) u32
+
+
+class TrackResult(NamedTuple):
+    """Host-side unpacked result."""
+
+    Tcw: np.ndarray
+    xy: np.ndarray
+    angle: np.ndarray
+    octave: np.ndarray
+    valid: np.ndarray
+    ur: np.ndarray
+    depth: np.ndarray
+    response: np.ndarray
+    assign: np.ndarray        # (N,) i32: -1 | [0,L) last slot | [L,L+M) local
+    inlier: np.ndarray        # (N,) bool
+    vis_local: np.ndarray     # (M,) bool
+    n_matches_mm: int
+    n_inliers: int
+
+
+def _octave_compat(last_oct, feat_oct, fwd, bwd):
+    """Traced forward/backward octave gate (ref: src/ORBmatcher.cc:1381)."""
+    lo = last_oct[:, None]
+    fo = feat_oct[None, :]
+    band = (fo >= lo - 1) & (fo <= lo + 1)
+    return jnp.where(fwd, fo >= lo, jnp.where(bwd, fo <= lo, band))
+
+
+def build_track_step(settings, sensor_stereo: bool):
+    """Returns a jitted step(img_l, img_r, T_pred, last block, local block,
+    fwd, bwd) -> TrackOut closure for fixed shapes."""
+    s = settings
+    fx, fy = np.float32(s.fx), np.float32(s.fy)
+    cx, cy = np.float32(s.cx), np.float32(s.cy)
+    bf = np.float32(s.bf)
+    # NOTE: closure constants must be NUMPY, never jnp — a jnp closure
+    # constant permanently downgrades the axon runtime to synchronous
+    # ~25ms dispatches (see memory: axon-jnp-closure-constants)
+    sf = s.scale_factors().astype(np.float32)
+    ls2 = s.level_sigma2().astype(np.float32)
+    bounds = np.array([0.0, s.width, 0.0, s.height], np.float32)
+    log_sf = float(np.log(s.scale_factor))
+    n_levels = s.n_levels
+    th_mm = 7.0 if sensor_stereo else 15.0
+
+    @jax.jit
+    def step(
+        img_l, img_r,
+        T_pred,                       # (4,4) motion-model prediction
+        last_pts, last_has, last_oct, last_desc, last_angle,  # (L,...)
+        loc_pts, loc_normal, loc_min, loc_max, loc_desc, loc_mask,  # (M,...)
+        fwd, bwd,                     # () bool traced
+        th_local,                     # () f32
+    ):
+        # numpy closures -> traced constants (inlined, axon-safe)
+        sf_c = jnp.asarray(sf)
+        ls2_c = jnp.asarray(ls2)
+        bounds_c = jnp.asarray(bounds)
+
+        # ---- 1. frontend ------------------------------------------------
+        if sensor_stereo:
+            feats, sm = frontend.extract_stereo_pair(
+                img_l, img_r, sf, bf, np.float32(s.fx),
+                n_features=s.n_features, n_levels=n_levels,
+                scale_factor=s.scale_factor, ini_th=s.ini_th_fast,
+                min_th=s.min_th_fast,
+            )
+            ur, depth = sm.u_right, sm.depth
+        else:
+            feats = frontend.extract(
+                img_l, n_features=s.n_features, n_levels=n_levels,
+                scale_factor=s.scale_factor, ini_th=s.ini_th_fast,
+                min_th=s.min_th_fast,
+            )
+            ur = -jnp.ones(feats.xy.shape[0], jnp.float32)
+            depth = -jnp.ones(feats.xy.shape[0], jnp.float32)
+
+        N = feats.xy.shape[0]
+        L = last_pts.shape[0]
+        M = loc_pts.shape[0]
+        f_xy = feats.xy
+        f_oct = feats.octave
+        f_desc = feats.desc
+        f_ang = feats.angle
+        f_val = feats.valid
+
+        # ---- 2. motion-model matching (ref SearchByProjection last) -----
+        R, t = T_pred[:3, :3], T_pred[:3, 3]
+        pc = last_pts @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = fx * pc[:, 0] / z + cx
+        v = fy * pc[:, 1] / z + cy
+        urp = u - bf / z
+        vis = (
+            last_has & (pc[:, 2] > 0)
+            & (u >= bounds_c[0]) & (u < bounds_c[1])
+            & (v >= bounds_c[2]) & (v < bounds_c[3])
+        )
+        oct_ok = _octave_compat(last_oct, f_oct, fwd, bwd)
+        has_r = ur[None, :] >= 0
+        dmat = hamming.distance_matrix(last_desc, f_desc)
+
+        def mm_match(th):
+            radius = th * sf_c[last_oct]
+            du = jnp.abs(u[:, None] - f_xy[None, :, 0])
+            dv = jnp.abs(v[:, None] - f_xy[None, :, 1])
+            window = (du < radius[:, None]) & (dv < radius[:, None])
+            r_ok = ~has_r | (jnp.abs(urp[:, None] - ur[None, :])
+                             < radius[:, None])
+            compat = window & oct_ok & r_ok & vis[:, None] & f_val[None, :]
+            d = jnp.where(compat, dmat, hamming.MAX_DIST)
+            idx = jnp.argmin(d, 1).astype(jnp.int32)
+            best = jnp.min(d, 1)
+            ok = vis & (best <= hamming.TH_HIGH)
+            ok = hamming.rotation_histogram_filter(
+                last_angle, f_ang[idx], ok)
+            # scatter-min duplicate resolution
+            big = jnp.int32(2147483647)
+            key = best.astype(jnp.int32) * L \
+                + jnp.arange(L, dtype=jnp.int32)
+            key = jnp.where(ok, key, big)
+            bk = jnp.full((N,), big, jnp.int32).at[idx].min(key)
+            ok = ok & (bk[idx] == key)
+            return idx, best, ok
+
+        idx1, _, ok1 = mm_match(th_mm)
+        n1 = jnp.sum(ok1)
+        idx2, _, ok2 = mm_match(2.0 * th_mm)
+        use2 = n1 < 20
+        mm_idx = jnp.where(use2, idx2, idx1)
+        mm_ok = jnp.where(use2, ok2, ok1)
+        n_mm = jnp.sum(mm_ok)
+
+        # per-feature binding after motion match: slot in [0, L)
+        assign = jnp.full((N,), -1, jnp.int32)
+        assign = assign.at[jnp.where(mm_ok, mm_idx, N)].set(
+            jnp.arange(L, dtype=jnp.int32), mode="drop")
+
+        # ---- 3. pose optimization 1 -------------------------------------
+        def pose_obs(assign_slots, src_pts):
+            bound = assign_slots >= 0
+            slots = jnp.maximum(assign_slots, 0)
+            pts = src_pts[slots]
+            uv = jnp.stack([f_xy[:, 0], f_xy[:, 1], ur], -1)
+            inv_s2 = 1.0 / ls2_c[f_oct]
+            return pose_lm.PoseObs(pts, uv, inv_s2, bound & f_val)
+
+        all_pts_1 = last_pts
+        obs1 = pose_obs(assign, all_pts_1)
+        T1, inl1, _ = pose_lm.optimize_pose.__wrapped__(
+            T_pred, obs1, fx, fy, cx, cy, bf, 4, 10)
+        # drop outlier bindings (ref: Tracking.cc:905-918)
+        assign = jnp.where(inl1 | (assign < 0), assign, -1)
+
+        # ---- 4. local-map candidates: frustum + window match ------------
+        Rl, tl = T1[:3, :3], T1[:3, 3]
+        pcl = loc_pts @ Rl.T + tl
+        zl = jnp.maximum(pcl[:, 2], 1e-6)
+        ul = fx * pcl[:, 0] / zl + cx
+        vl = fy * pcl[:, 1] / zl + cy
+        url = ul - bf / zl
+        Ow = -Rl.T @ tl
+        po = loc_pts - Ow
+        dist = jnp.linalg.norm(po, axis=1)
+        dist_s = jnp.maximum(dist, 1e-9)
+        view_cos = jnp.sum(po * loc_normal, 1) / dist_s
+        ratio = jnp.maximum(loc_max, 1e-9) / dist_s
+        level = jnp.clip(
+            jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_sf),
+            0, n_levels - 1).astype(jnp.int32)
+        vis_l = (
+            loc_mask & (pcl[:, 2] > 0)
+            & (ul >= bounds_c[0]) & (ul < bounds_c[1])
+            & (vl >= bounds_c[2]) & (vl < bounds_c[3])
+            & (dist >= 0.8 * loc_min) & (dist <= 1.2 * loc_max)
+            & (view_cos > 0.5)
+        )
+        r0 = jnp.where(view_cos > 0.998, 2.5, 4.0)
+        radius = r0 * th_local * sf_c[level]
+        du = jnp.abs(ul[:, None] - f_xy[None, :, 0])
+        dv = jnp.abs(vl[:, None] - f_xy[None, :, 1])
+        window = (du < radius[:, None]) & (dv < radius[:, None])
+        oct_ok_l = (
+            (f_oct[None, :] >= level[:, None] - 1)
+            & (f_oct[None, :] <= level[:, None])
+        )
+        has_r2 = ur[None, :] >= 0
+        r_ok2 = ~has_r2 | (jnp.abs(url[:, None] - ur[None, :])
+                           < radius[:, None])
+        free = f_val & (assign < 0)
+        compat = window & oct_ok_l & r_ok2 & vis_l[:, None] & free[None, :]
+        dmat_l = hamming.distance_matrix(loc_desc, f_desc)
+        d = jnp.where(compat, dmat_l, hamming.MAX_DIST)
+        lidx = jnp.argmin(d, 1).astype(jnp.int32)
+        lbest = jnp.min(d, 1)
+        d2 = d.at[jnp.arange(M), lidx].set(hamming.MAX_DIST)
+        lsecond = jnp.min(d2, 1)
+        same_lvl = f_oct[lidx] == f_oct[jnp.argmin(d2, 1)]
+        ratio_ok = ~same_lvl | (
+            lbest.astype(jnp.float32) <= 0.8 * lsecond.astype(jnp.float32))
+        lok = vis_l & (lbest <= hamming.TH_HIGH) & ratio_ok
+        big = jnp.int32(2147483647)
+        key = lbest.astype(jnp.int32) * M + jnp.arange(M, dtype=jnp.int32)
+        key = jnp.where(lok, key, big)
+        bk = jnp.full((N,), big, jnp.int32).at[lidx].min(key)
+        lok = lok & (bk[lidx] == key)
+
+        assign = assign.at[jnp.where(lok, lidx, N)].set(
+            L + jnp.arange(M, dtype=jnp.int32), mode="drop")
+
+        # ---- 5. pose optimization 2 -------------------------------------
+        all_pts = jnp.concatenate([last_pts, loc_pts], 0)   # (L+M, 3)
+        obs2 = pose_obs(assign, all_pts)
+        T2, inl2, n_in = pose_lm.optimize_pose.__wrapped__(
+            T1, obs2, fx, fy, cx, cy, bf, 4, 10)
+
+        # ---- 6. pack outputs (ONE f32 buffer = one d2h sync; the u32
+        # descriptors ride along bitcast to f32 — a d2h pull is a plain
+        # memcpy, so the bit patterns survive) ----------------------------
+        f32_pack = jnp.concatenate([
+            T2.reshape(-1),                              # 16
+            jnp.stack([n_mm.astype(jnp.float32),
+                       n_in.astype(jnp.float32)]),       # 2
+            f_xy.reshape(-1),                            # 2N
+            f_ang,                                       # N
+            f_oct.astype(jnp.float32),                   # N
+            f_val.astype(jnp.float32),                   # N
+            ur, depth,                                   # 2N
+            feats.response,                              # N
+            assign.astype(jnp.float32),                  # N
+            (inl2 & (assign >= 0)).astype(jnp.float32),  # N
+            vis_l.astype(jnp.float32),                   # M
+            jax.lax.bitcast_convert_type(
+                f_desc, jnp.float32).reshape(-1),        # 8N
+        ])
+        return TrackOut(f32_pack, f_desc)
+
+    return step
+
+
+def unpack_track_out(out: TrackOut, n: int, m: int) -> TrackResult:
+    """One blocking pull of the packed buffer, then split on host.
+
+    Returns the result with `desc` recovered from the bitcast tail —
+    the separate TrackOut.desc device array is never pulled."""
+    buf = np.asarray(out.f32_pack)
+    Tcw = buf[:16].reshape(4, 4).astype(np.float32)
+    n_mm = int(buf[16])
+    n_in = int(buf[17])
+    o = 18
+    xy = buf[o:o + 2 * n].reshape(n, 2); o += 2 * n
+    angle = buf[o:o + n]; o += n
+    octave = buf[o:o + n].astype(np.int32); o += n
+    valid = buf[o:o + n] > 0.5; o += n
+    ur = buf[o:o + n]; o += n
+    depth = buf[o:o + n]; o += n
+    response = buf[o:o + n]; o += n
+    assign = buf[o:o + n].astype(np.int32); o += n
+    inlier = buf[o:o + n] > 0.5; o += n
+    vis_local = buf[o:o + m] > 0.5; o += m
+    desc = buf[o:o + 8 * n].view(np.uint32).reshape(n, 8)
+    return TrackResult(
+        Tcw, xy.astype(np.float32), angle.astype(np.float32), octave,
+        valid, ur.astype(np.float32), depth.astype(np.float32),
+        response.astype(np.float32), assign, inlier, vis_local,
+        n_mm, n_in,
+    ), desc

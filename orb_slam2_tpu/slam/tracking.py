@@ -21,8 +21,9 @@ import numpy as np
 
 from orb_slam2_tpu.config import Sensor, Settings
 from orb_slam2_tpu.ops import matching
+from orb_slam2_tpu.slam import track_step as ts
 from orb_slam2_tpu.slam.frame import Frame, FrameBuilder
-from orb_slam2_tpu.slam.map_store import MapStore
+from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
 from orb_slam2_tpu.solvers import initializer as mono_init
 from orb_slam2_tpu.solvers import pose_lm
 from orb_slam2_tpu.utils import StageTimers, bucket_size, pad_rows
@@ -99,16 +100,201 @@ class Tracker:
         self._sf_dev = jnp.asarray(self.scale_factors)
         self._bounds_dev = jnp.asarray(self.bounds)
 
+        # fused one-dispatch-per-frame fast path (track_step.py)
+        self.use_fast_path = True
+        self._fast_step = None
+
+    # ------------------------------------------------------------------
+    # fused fast path: ONE compiled step + ONE sync per steady frame
+    # ------------------------------------------------------------------
+    def _can_fast(self) -> bool:
+        return (
+            self.use_fast_path
+            and self.state == State.OK
+            and self.velocity is not None
+            and not self.only_tracking
+            and self.sensor in (Sensor.STEREO, Sensor.MONOCULAR)
+            and len(self.local_pts) > 0
+            and self.last_frame is not None
+            and (self.current is None or
+                 self.current.frame_id >= self.last_reloc_frame_id + 2)
+        )
+
+    def _get_fast_step(self):
+        if self._fast_step is None:
+            self._fast_step = ts.build_track_step(
+                self.s, self.sensor == Sensor.STEREO
+            )
+        return self._fast_step
+
+    def _track_fast(self, img_l, img_r, timestamp) -> Optional[np.ndarray]:
+        store = self.store
+        last = self.last_frame
+        self._replace_updated_points(last)
+        self._update_last_frame()
+        T_pred = (self.velocity @ last.Tcw).astype(np.float32)
+
+        # last-frame point block (slots aligned with last frame features)
+        bind = last.bindings
+        pids = np.where(bind >= 0, bind, 0)
+        has = (bind >= 0) & store.pt_valid[pids] & ~last.outlier
+        last_pts = store.pt_pos[pids].astype(np.float32)
+        last_desc = store.pt_desc[pids]
+        last_pids = pids
+
+        # stale local-map candidates, minus points already in the last block
+        bound_set = set(int(p) for p in pids[has])
+        cand = np.array(
+            [p for p in self.local_pts
+             if int(p) not in bound_set and store.pt_valid[p]], np.int64
+        )
+        M = bucket_size(max(len(cand), 1), 512)
+        loc_pts = pad_rows(store.pt_pos[cand], M).astype(np.float32)
+        loc_normal = pad_rows(store.pt_normal[cand], M).astype(np.float32)
+        loc_min = pad_rows(store.pt_min_dist[cand], M).astype(np.float32)
+        loc_max = pad_rows(store.pt_max_dist[cand], M).astype(np.float32)
+        loc_desc = pad_rows(store.pt_desc[cand], M)
+        loc_mask = pad_rows(np.ones(len(cand), bool), M, False)
+
+        tlc = last.Tcw @ np.linalg.inv(T_pred)
+        mono = self.sensor == Sensor.MONOCULAR
+        fwd = bool((not mono) and tlc[2, 3] > self.s.baseline)
+        bwd = bool((not mono) and -tlc[2, 3] > self.s.baseline)
+        th_local = 3.0 if self.sensor == Sensor.RGBD else 1.0
+
+        step = self._get_fast_step()
+        img_l_d = self.builder._upload(img_l)
+        img_r_d = (self.builder._upload(img_r)
+                   if img_r is not None else img_l_d)
+        out = step(
+            img_l_d, img_r_d, jnp.asarray(T_pred),
+            jnp.asarray(last_pts), jnp.asarray(has),
+            last.feats.device("octave"), jnp.asarray(last_desc),
+            last.feats.device("angle"),
+            jnp.asarray(loc_pts), jnp.asarray(loc_normal),
+            jnp.asarray(loc_min), jnp.asarray(loc_max),
+            jnp.asarray(loc_desc), jnp.asarray(loc_mask),
+            jnp.asarray(fwd), jnp.asarray(bwd), jnp.float32(th_local),
+        )
+        from orb_slam2_tpu.ops.frontend import padded_total
+
+        out.f32_pack.copy_to_host_async()   # overlap pull with host prep
+        n_feat = padded_total(
+            self.s.n_features, self.s.n_levels, self.s.scale_factor
+        )
+        res, desc_np = ts.unpack_track_out(out, n_feat, M)
+
+        # build the Frame from the step outputs (no second extraction)
+        ff = FrameFeatures(
+            xy=res.xy, xy_raw=res.xy, ur=res.ur, depth=res.depth,
+            octave=res.octave, angle=res.angle,
+            desc=desc_np, valid=res.valid,
+            node=np.full(n_feat, -1, np.int32),
+            word=np.full(n_feat, -1, np.int32),
+            dev={"desc": out.desc},
+        )
+        frame = Frame(
+            frame_id=self.builder._next_id, timestamp=timestamp, feats=ff
+        )
+        self.builder._next_id += 1
+        self.current = frame
+        frame.Tcw = res.Tcw
+        frame.ref_kf = self.ref_kf
+
+        # map assignment slots back to map-point ids
+        L = len(last_pids)
+        a = res.assign
+        bindings = np.full(n_feat, -1, np.int64)
+        from_last = (a >= 0) & (a < L)
+        bindings[from_last] = last_pids[a[from_last]]
+        from_local = a >= L
+        loc_slots = a[from_local] - L
+        in_range = loc_slots < len(cand)
+        rows = np.nonzero(from_local)[0][in_range]
+        bindings[rows] = cand[loc_slots[in_range]]
+        frame.bindings = bindings
+        frame.outlier = (bindings >= 0) & ~res.inlier
+
+        ok = res.n_matches_mm >= 20
+        if ok:
+            # visibility / found statistics (ref: SearchLocalPoints +
+            # TrackLocalMap tail)
+            vis_ids = cand[res.vis_local[: len(cand)]]
+            store.pt_visible[vis_ids] += 1
+            bound_now = bindings[bindings >= 0]
+            store.pt_visible[np.unique(bound_now)] += 1
+            inl_ids = bindings[(bindings >= 0) & res.inlier]
+            store.pt_found[inl_ids] += 1
+            n_map = int(np.sum(store.pt_n_obs[inl_ids] >= 1))
+            self.n_inliers = n_map
+            ok = n_map >= 30
+        if not ok:
+            # fall back to the modular path (reference-KF tracking)
+            self._assign_frame_bow(frame)
+            ok = self._track_reference_keyframe()
+            if ok:
+                ok = self._track_local_map()
+
+        if ok:
+            self.state = State.OK
+            self.velocity = frame.Tcw @ np.linalg.inv(last.Tcw)
+            for i in np.nonzero(frame.bindings >= 0)[0]:
+                pid = int(frame.bindings[i])
+                if store.pt_valid[pid] and not store.pt_obs.get(pid):
+                    frame.bindings[i] = -1
+            if self._need_new_keyframe():
+                with self.timers("create_keyframe"):
+                    self._assign_frame_bow(frame)
+                    self._create_new_keyframe()
+            out_mask = frame.outlier & (frame.bindings >= 0)
+            frame.bindings[out_mask] = -1
+            frame.outlier[:] = False
+            # refresh the local window for the next frame's candidates
+            self._update_local_map_cheap(frame)
+        else:
+            self.state = State.LOST
+
+        if frame.Tcw is not None and self.ref_kf >= 0:
+            Trw = store.kf_pose[self.ref_kf]
+            self.trajectory.append(TrajectoryEntry(
+                frame.Tcw @ np.linalg.inv(Trw), self.ref_kf,
+                frame.timestamp, self.state == State.LOST))
+
+        if self.state == State.LOST and store.kf_valid.sum() <= 5:
+            self.reset()
+            return None
+        self.last_frame = frame
+        return frame.Tcw if self.state == State.OK else None
+
+    def _assign_frame_bow(self, frame: Frame):
+        if (self.builder.vocabulary is not None
+                and not (frame.feats.node >= 0).any()):
+            node, word = self.builder.vocabulary.assign_nodes(
+                frame.feats.desc, frame.feats.valid)
+            frame.feats.node[:] = node
+            frame.feats.word[:] = word
+
+    def _update_local_map_cheap(self, frame: Frame):
+        """Host-only local window refresh (same logic as
+        _update_local_map, no device calls)."""
+        self._update_local_map()
+
     # ------------------------------------------------------------------
     # public per-frame entries (ref: GrabImage* src/Tracking.cc:168-266)
     # ------------------------------------------------------------------
     def grab_monocular(self, img: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
+        if self._can_fast():
+            with self.timers("fast_step"):
+                return self._track_fast(img, None, timestamp)
         boost = self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED)
         with self.timers("frame_build"):
             frame = self.builder.monocular(img, timestamp, init_boost=boost)
         return self._track(frame)
 
     def grab_stereo(self, img_l, img_r, timestamp: float) -> Optional[np.ndarray]:
+        if self._can_fast():
+            with self.timers("fast_step"):
+                return self._track_fast(img_l, img_r, timestamp)
         with self.timers("frame_build"):
             frame = self.builder.stereo_pair(img_l, img_r, timestamp)
         return self._track(frame)
@@ -269,16 +455,13 @@ class Tracker:
 
         f0, f1 = self._init_frame.feats, frame.feats
         m = matching.search_for_initialization(
-            jnp.asarray(f0.xy), jnp.asarray(f0.desc),
-            jnp.asarray(f0.octave), jnp.asarray(f0.angle),
-            jnp.asarray(f0.valid),
-            jnp.asarray(f1.xy), jnp.asarray(f1.desc),
-            jnp.asarray(f1.octave), jnp.asarray(f1.angle),
-            jnp.asarray(f1.valid),
+            f0.device("xy"), f0.device("desc"),
+            f0.device("octave"), f0.device("angle"), f0.device("valid"),
+            f1.device("xy"), f1.device("desc"),
+            f1.device("octave"), f1.device("angle"), f1.device("valid"),
             window=100.0, ratio=0.9,
         )
-        ok = np.asarray(m.ok)
-        idx = np.asarray(m.idx)
+        idx, _, ok = matching.to_host(m)
         if int(ok.sum()) < 100:
             self._init_frame = None
             return
@@ -406,8 +589,12 @@ class Tracker:
             jnp.float32(self.s.cx), jnp.float32(self.s.cy),
             jnp.float32(self.s.bf),
         )
-        frame.Tcw = np.asarray(T)
-        inl = np.asarray(inliers)
+        # single packed device->host pull (tunnel-latency-bound)
+        packed = np.asarray(jnp.concatenate(
+            [T.reshape(-1), inliers.astype(jnp.float32)]
+        ))
+        frame.Tcw = packed[:16].reshape(4, 4).astype(np.float32)
+        inl = packed[16:] > 0.5
         frame.outlier = mask & ~inl
         return int(inl.sum())
 
@@ -462,24 +649,24 @@ class Tracker:
         mono = self.sensor == Sensor.MONOCULAR
         forward = (not mono) and tlc[2, 3] > self.s.baseline
         backward = (not mono) and -tlc[2, 3] > self.s.baseline
+        fv = frame.feats
         m = matching.search_last_frame(
             jnp.asarray(self.store.pt_pos[pids]),
             jnp.asarray(has),
-            jnp.asarray(last.feats.octave),
+            last.feats.device("octave"),
             jnp.asarray(self.store.pt_desc[pids]),
-            jnp.asarray(last.feats.angle),
+            last.feats.device("angle"),
             jnp.asarray(frame.Tcw),
-            jnp.asarray(frame.feats.xy), jnp.asarray(frame.feats.ur),
-            jnp.asarray(frame.feats.octave), jnp.asarray(frame.feats.desc),
-            jnp.asarray(frame.feats.angle), jnp.asarray(frame.feats.valid),
+            fv.device("xy"), fv.device("ur"),
+            fv.device("octave"), fv.device("desc"),
+            fv.device("angle"), fv.device("valid"),
             jnp.float32(self.s.fx), jnp.float32(self.s.fy),
             jnp.float32(self.s.cx), jnp.float32(self.s.cy),
             jnp.float32(self.s.bf),
             self._bounds_dev, self._sf_dev,
             th, forward=forward, backward=backward,
         )
-        ok = np.asarray(m.ok)
-        idx = np.asarray(m.idx)
+        idx, _, ok = matching.to_host(m)
         rows = np.nonzero(ok)[0]
         return len(rows), idx[rows], pids[rows]
 
@@ -496,14 +683,14 @@ class Tracker:
         kf_has = kf_has & store.pt_valid[kf_pids]
 
         m = matching.search_by_nodes(
-            jnp.asarray(store.kf_desc[kf]), jnp.asarray(store.kf_node[kf]),
-            jnp.asarray(kf_has), jnp.asarray(store.kf_angle[kf]),
-            jnp.asarray(frame.feats.desc), jnp.asarray(frame.feats.node),
-            jnp.asarray(frame.feats.valid), jnp.asarray(frame.feats.angle),
+            store.kf_device(kf, "desc"), store.kf_device(kf, "node"),
+            jnp.asarray(kf_has), store.kf_device(kf, "angle"),
+            frame.feats.device("desc"), frame.feats.device("node"),
+            frame.feats.device("valid"), frame.feats.device("angle"),
             ratio=0.7,
         )
-        ok = np.asarray(m.ok) & kf_has
-        idx = np.asarray(m.idx)
+        idx, _, ok = matching.to_host(m)
+        ok = ok & kf_has
         if int(ok.sum()) < 15:
             return False
         frame.bindings[:] = -1
@@ -693,13 +880,13 @@ class Tracker:
         free = frame.feats.valid & (frame.bindings < 0)
         m = matching.search_local_points(
             proj, jnp.asarray(desc),
-            jnp.asarray(frame.feats.xy), jnp.asarray(frame.feats.ur),
-            jnp.asarray(frame.feats.octave), jnp.asarray(frame.feats.desc),
+            frame.feats.device("xy"), frame.feats.device("ur"),
+            frame.feats.device("octave"), frame.feats.device("desc"),
             jnp.asarray(free),
             self._sf_dev, th,
         )
-        ok = np.asarray(m.ok)[: len(cand)]
-        idx = np.asarray(m.idx)[: len(cand)]
+        idx, _, ok = matching.to_host(m)
+        idx, ok = idx[: len(cand)], ok[: len(cand)]
         for row in np.nonzero(ok)[0]:
             frame.bindings[idx[row]] = cand[row]
 

@@ -120,6 +120,9 @@ class System:
         return T
 
     def _pump(self):
+        if self.store is not self.tracker.store:
+            # tracker reset swapped in a fresh map
+            self.store = self.tracker.store
         if self.scheduler == "sync":
             self.local_mapper.spin()
             if self.loop_closer is not None:

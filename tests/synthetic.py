@@ -71,12 +71,16 @@ class PlaneScene:
         pts = np.stack([u, v, ones], -1) @ Hinv.T
         mx = (pts[..., 0] / pts[..., 2]).astype(np.float32)
         my = (pts[..., 1] / pts[..., 2]).astype(np.float32)
-        x0 = np.clip(np.floor(mx).astype(np.int32), 0, self.w - 1)
-        y0 = np.clip(np.floor(my).astype(np.int32), 0, self.h - 1)
-        x1 = np.clip(x0 + 1, 0, self.w - 1)
-        y1 = np.clip(y0 + 1, 0, self.h - 1)
-        wx = np.clip(mx - x0, 0, 1)
-        wy = np.clip(my - y0, 0, 1)
+        # texture tiles: the plane is effectively infinite, so long
+        # trajectories never run out of trackable structure
+        x0 = np.floor(mx).astype(np.int64)
+        y0 = np.floor(my).astype(np.int64)
+        wx = mx - x0
+        wy = my - y0
+        x0 %= self.w
+        y0 %= self.h
+        x1 = (x0 + 1) % self.w
+        y1 = (y0 + 1) % self.h
         f = self.tex
         out = (
             f[y0, x0] * (1 - wx) * (1 - wy)
@@ -84,10 +88,8 @@ class PlaneScene:
             + f[y1, x0] * (1 - wx) * wy
             + f[y1, x1] * wx * wy
         )
-        inside = (
-            (mx >= 0) & (mx <= self.w - 1) & (my >= 0) & (my <= self.h - 1)
-        )
-        return np.where(inside, out, 0.0).astype(np.float32)
+        behind = pts[..., 2] <= 1e-9
+        return np.where(behind, 0.0, out).astype(np.float32)
 
     def depth_at(self, Tcw: np.ndarray) -> np.ndarray:
         """Per-pixel depth of the plane in the given view (for RGB-D)."""
