@@ -25,6 +25,18 @@ from orb_slam2_tpu.ops import brief, fast, gaussian, orientation, pyramid
 EDGE_THRESHOLD = 19  # ref: src/ORBextractor.cc:74
 
 
+@functools.lru_cache(maxsize=1)
+def _use_pallas() -> bool:
+    """The fused Pallas angle+descriptor kernel runs on real TPUs
+    (including the axon tunnel); CPU test runs use the XLA path."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class Features(NamedTuple):
     """Fixed-shape extraction result; level-0 (unscaled) coordinates."""
 
@@ -86,12 +98,30 @@ def extract(
     border = EDGE_THRESHOLD - 3  # FAST margin; ref ComputeKeyPointsOctTree
     outs = {"xy": [], "resp": [], "oct": [], "ang": [], "desc": [], "valid": []}
 
+    use_pallas = _use_pallas()
     for l, lvl in enumerate(levels):
         score = fast.detect_with_fallback(lvl, ini_th, min_th, border)
         xy, resp, valid = fast.select_topk_grid(score, budgets[l], cell)
-        ang = orientation.ic_angles(lvl, xy, valid)
         blurred = gaussian.blur7x7(lvl)
-        desc = brief.describe(blurred, xy, ang, valid)
+        if use_pallas:
+            from orb_slam2_tpu.ops import orb_pallas
+
+            pad = (-budgets[l]) % orb_pallas.KP_PER_PROGRAM
+            xy_p = jnp.concatenate(
+                [xy, jnp.full((pad, 2), EDGE_THRESHOLD, xy.dtype)]
+            ) if pad else xy
+            valid_p = jnp.concatenate(
+                [valid, jnp.zeros(pad, bool)]) if pad else valid
+            ang_p, desc_p = orb_pallas.describe_oriented(
+                orb_pallas.pad_for_kernel(lvl),
+                orb_pallas.pad_for_kernel(blurred),
+                xy_p, valid_p,
+            )
+            ang = ang_p[: budgets[l]]
+            desc = desc_p[: budgets[l]]
+        else:
+            ang = orientation.ic_angles(lvl, xy, valid)
+            desc = brief.describe(blurred, xy, ang, valid)
         scale = jnp.float32(scale_factor ** l)
         outs["xy"].append(xy.astype(jnp.float32) * scale)
         outs["resp"].append(resp)

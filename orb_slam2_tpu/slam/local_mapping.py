@@ -20,7 +20,7 @@ from orb_slam2_tpu.ops import matching
 from orb_slam2_tpu.slam.map_store import MapStore
 from orb_slam2_tpu.solvers import ba
 from orb_slam2_tpu.solvers import triangulation as tri
-from orb_slam2_tpu.utils import bucket_size, pad_rows
+from orb_slam2_tpu.utils import StickyBuckets, bucket_size, pad_rows
 
 
 class LocalMapper:
@@ -43,6 +43,7 @@ class LocalMapper:
         self.bounds = np.array([0.0, w, 0.0, h], np.float32)
         self._bounds_dev = jnp.asarray(self.bounds)
         self.current_kf = -1
+        self._buckets = StickyBuckets(fuse=512, K=16, P=1024, E=4096)
 
     # -- queue / thread-protocol surface (ref: LocalMapping.h:50-68) ----
     def insert_keyframe(self, kf: int):
@@ -228,7 +229,7 @@ class LocalMapper:
                         np.int64)
         if len(pids) == 0:
             return 0
-        M = bucket_size(len(pids), 256)
+        M = self._buckets("fuse", len(pids))
         mask = pad_rows(np.ones(len(pids), bool), M, False)
         fm = matching.fuse_points(
             jnp.asarray(pad_rows(store.pt_pos[pids], M)),
@@ -312,8 +313,8 @@ class LocalMapper:
         store = self.store
         all_cams = list(cams) + list(fixed)
         cam_index = {c: i for i, c in enumerate(all_cams)}
-        K = bucket_size(len(all_cams), 8)
-        P = bucket_size(max(len(pids), 1), 256)
+        K = self._buckets("K", len(all_cams))
+        P = self._buckets("P", max(len(pids), 1))
 
         cam_T = pad_rows(store.kf_pose[all_cams], K)
         cam_T[len(all_cams):] = np.eye(4, dtype=np.float32)
@@ -340,7 +341,7 @@ class LocalMapper:
                 e_is2.append(1.0 / self.level_sigma2[
                     store.kf_octave[c, feat]])
                 e_feat.append((c, feat))
-        E = bucket_size(max(len(e_cam), 1), 1024)
+        E = self._buckets("E", max(len(e_cam), 1))
         edge_cam = pad_rows(np.array(e_cam, np.int32), E)
         edge_pt = pad_rows(np.array(e_pt, np.int32), E)
         edge_uv = pad_rows(np.array(e_uv, np.float32).reshape(-1, 3), E)

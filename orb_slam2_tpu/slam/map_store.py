@@ -139,6 +139,9 @@ class MapStore:
         # big-change counter (ref: Map::InformNewBigChange src/Map.cc:70)
         self.big_change_idx = 0
         self.origin_kf = 0
+        # bumped on every replace_point; lets the tracker skip the
+        # per-feature replacement sweep when nothing changed
+        self.replace_epoch = 0
 
         # device-side cache of immutable per-KF feature blocks
         self.kf_dev: Dict[int, dict] = {}
@@ -338,6 +341,7 @@ class MapStore:
         obs_old = list(self.pt_obs.get(old, {}).items())
         self.pt_valid[old] = False
         self.pt_replaced_by[old] = new
+        self.replace_epoch += 1
         for kf, feat in obs_old:
             if self.kf_obs[kf, feat] == old:
                 self.kf_obs[kf, feat] = -1

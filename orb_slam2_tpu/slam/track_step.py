@@ -91,16 +91,31 @@ def build_track_step(settings, sensor_stereo: bool):
     @jax.jit
     def step(
         img_l, img_r,
-        T_pred,                       # (4,4) motion-model prediction
-        last_pts, last_has, last_oct, last_desc, last_angle,  # (L,...)
-        loc_pts, loc_normal, loc_min, loc_max, loc_desc, loc_mask,  # (M,...)
-        fwd, bwd,                     # () bool traced
-        th_local,                     # () f32
+        scal,                         # (20,) f32 packed host scalars
+        last_f32,                     # (L, 4) [pts xyz, has]
+        last_desc,                    # (L, 8) u32 point descriptors
+        last_oct, last_angle,         # (L,) device-cached feature fields
+        loc_f32,                      # (M, 8) [pts xyz, normal xyz, min, max]
+        loc_desc,                     # (M, 8) u32
     ):
         # numpy closures -> traced constants (inlined, axon-safe)
         sf_c = jnp.asarray(sf)
         ls2_c = jnp.asarray(ls2)
         bounds_c = jnp.asarray(bounds)
+
+        # unpack the scalar block (packed on host into ONE upload)
+        T_pred = scal[:16].reshape(4, 4)
+        fwd = scal[16] > 0.5
+        bwd = scal[17] > 0.5
+        th_local = scal[18]
+        n_cand = scal[19].astype(jnp.int32)
+        last_pts = last_f32[:, :3]
+        last_has = last_f32[:, 3] > 0.5
+        loc_pts = loc_f32[:, :3]
+        loc_normal = loc_f32[:, 3:6]
+        loc_min = loc_f32[:, 6]
+        loc_max = loc_f32[:, 7]
+        loc_mask = (jnp.arange(loc_f32.shape[0]) < n_cand)
 
         # ---- 1. frontend ------------------------------------------------
         if sensor_stereo:

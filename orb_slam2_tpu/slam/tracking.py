@@ -26,7 +26,7 @@ from orb_slam2_tpu.slam.frame import Frame, FrameBuilder
 from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
 from orb_slam2_tpu.solvers import initializer as mono_init
 from orb_slam2_tpu.solvers import pose_lm
-from orb_slam2_tpu.utils import StageTimers, bucket_size, pad_rows
+from orb_slam2_tpu.utils import StageTimers, StickyBuckets, bucket_size, pad_rows
 
 
 class State(enum.Enum):
@@ -103,6 +103,9 @@ class Tracker:
         # fused one-dispatch-per-frame fast path (track_step.py)
         self.use_fast_path = True
         self._fast_step = None
+        self._buckets = StickyBuckets(local=512)
+        self._seen_replace_epoch = 0
+        self._frames_since_map_refresh = 0
 
     # ------------------------------------------------------------------
     # fused fast path: ONE compiled step + ONE sync per steady frame
@@ -143,18 +146,17 @@ class Tracker:
         last_pids = pids
 
         # stale local-map candidates, minus points already in the last block
-        bound_set = set(int(p) for p in pids[has])
-        cand = np.array(
-            [p for p in self.local_pts
-             if int(p) not in bound_set and store.pt_valid[p]], np.int64
-        )
-        M = bucket_size(max(len(cand), 1), 512)
-        loc_pts = pad_rows(store.pt_pos[cand], M).astype(np.float32)
-        loc_normal = pad_rows(store.pt_normal[cand], M).astype(np.float32)
-        loc_min = pad_rows(store.pt_min_dist[cand], M).astype(np.float32)
-        loc_max = pad_rows(store.pt_max_dist[cand], M).astype(np.float32)
+        lp = self.local_pts
+        keep = store.pt_valid[lp] & ~np.isin(lp, pids[has])
+        cand = lp[keep]
+        M = self._buckets("local", max(len(cand), 1))
+        loc_f32 = np.zeros((M, 8), np.float32)
+        nc = len(cand)
+        loc_f32[:nc, :3] = store.pt_pos[cand]
+        loc_f32[:nc, 3:6] = store.pt_normal[cand]
+        loc_f32[:nc, 6] = store.pt_min_dist[cand]
+        loc_f32[:nc, 7] = store.pt_max_dist[cand]
         loc_desc = pad_rows(store.pt_desc[cand], M)
-        loc_mask = pad_rows(np.ones(len(cand), bool), M, False)
 
         tlc = last.Tcw @ np.linalg.inv(T_pred)
         mono = self.sensor == Sensor.MONOCULAR
@@ -162,19 +164,24 @@ class Tracker:
         bwd = bool((not mono) and -tlc[2, 3] > self.s.baseline)
         th_local = 3.0 if self.sensor == Sensor.RGBD else 1.0
 
+        scal = np.zeros(20, np.float32)
+        scal[:16] = T_pred.reshape(-1)
+        scal[16] = fwd
+        scal[17] = bwd
+        scal[18] = th_local
+        scal[19] = nc
+        last_f32 = np.concatenate(
+            [last_pts, has[:, None].astype(np.float32)], 1)
+
         step = self._get_fast_step()
         img_l_d = self.builder._upload(img_l)
         img_r_d = (self.builder._upload(img_r)
                    if img_r is not None else img_l_d)
         out = step(
-            img_l_d, img_r_d, jnp.asarray(T_pred),
-            jnp.asarray(last_pts), jnp.asarray(has),
-            last.feats.device("octave"), jnp.asarray(last_desc),
-            last.feats.device("angle"),
-            jnp.asarray(loc_pts), jnp.asarray(loc_normal),
-            jnp.asarray(loc_min), jnp.asarray(loc_max),
-            jnp.asarray(loc_desc), jnp.asarray(loc_mask),
-            jnp.asarray(fwd), jnp.asarray(bwd), jnp.float32(th_local),
+            img_l_d, img_r_d, jnp.asarray(scal),
+            jnp.asarray(last_f32), jnp.asarray(last_desc),
+            last.feats.device("octave"), last.feats.device("angle"),
+            jnp.asarray(loc_f32), jnp.asarray(loc_desc),
         )
         from orb_slam2_tpu.ops.frontend import padded_total
 
@@ -249,8 +256,14 @@ class Tracker:
             out_mask = frame.outlier & (frame.bindings >= 0)
             frame.bindings[out_mask] = -1
             frame.outlier[:] = False
-            # refresh the local window for the next frame's candidates
-            self._update_local_map_cheap(frame)
+            # refresh the local window for the next frame's candidates;
+            # the window changes slowly, so refresh on keyframe insertion
+            # or every few frames rather than every frame
+            self._frames_since_map_refresh += 1
+            if (self.last_kf_frame_id == frame.frame_id
+                    or self._frames_since_map_refresh >= 4):
+                self._update_local_map()
+                self._frames_since_map_refresh = 0
         else:
             self.state = State.LOST
 
@@ -551,9 +564,14 @@ class Tracker:
     # pose tracking
     # ------------------------------------------------------------------
     def _replace_updated_points(self, frame: Optional[Frame]):
-        """ref: Tracking::CheckReplacedInLastFrame (src/Tracking.cc:741-756)."""
+        """ref: Tracking::CheckReplacedInLastFrame (src/Tracking.cc:741-756).
+        Skipped entirely when no Replace() happened since the last sweep
+        (the common case — fusion only runs on keyframe insertion)."""
         if frame is None:
             return
+        if self.store.replace_epoch == self._seen_replace_epoch:
+            return
+        self._seen_replace_epoch = self.store.replace_epoch
         for i in np.nonzero(frame.bindings >= 0)[0]:
             pid = self.store.resolve_replaced(int(frame.bindings[i]))
             frame.bindings[i] = pid if self.store.pt_valid[pid] else -1
@@ -849,7 +867,7 @@ class Tracker:
         )
         if len(cand) == 0:
             return
-        M = bucket_size(len(cand), 256)
+        M = self._buckets("local", len(cand))
         pts = pad_rows(store.pt_pos[cand], M)
         normals = pad_rows(store.pt_normal[cand], M)
         min_d = pad_rows(store.pt_min_dist[cand], M)

@@ -21,6 +21,23 @@ def bucket_size(n: int, minimum: int = 128) -> int:
     return b
 
 
+class StickyBuckets:
+    """Monotone bucket sizes: once a dimension has used a bucket, smaller
+    requests reuse it.  Each named dimension therefore recompiles at most
+    log2(max/min) times over the whole run (compile time >> padding cost
+    on TPU)."""
+
+    def __init__(self, **minimums: int):
+        self._min = dict(minimums)
+        self._cur: Dict[str, int] = {}
+
+    def __call__(self, name: str, n: int) -> int:
+        b = bucket_size(n, self._min.get(name, 128))
+        b = max(b, self._cur.get(name, 0))
+        self._cur[name] = b
+        return b
+
+
 def pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
     """Pad (or truncate) axis 0 of `a` to length n with `fill`."""
     if a.shape[0] == n:
