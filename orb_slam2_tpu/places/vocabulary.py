@@ -67,7 +67,8 @@ class Vocabulary:
         leaf_ids = np.nonzero(self.is_leaf)[0]
         self.leaf_of_word = leaf_ids
         self.word_of_node = np.full(len(node_desc), -1, np.int32)
-        self.word_of_node[leaf_ids] = np.arange(len(leaf_ids), np.int32)
+        self.word_of_node[leaf_ids] = np.arange(
+            len(leaf_ids), dtype=np.int32)
         self.n_words = len(leaf_ids)
         self._descend = self._build_descend()
 
@@ -88,7 +89,9 @@ class Vocabulary:
             node_desc_c = jnp.asarray(node_desc)
             n = desc.shape[0]
             cur = jnp.zeros(n, jnp.int32)     # root = node 0
-            stop_level = max(L - levels_up, 0)
+            # after iteration i the walker sits at depth i+1; record the
+            # FeatureVector node at depth L - levels_up (DBoW2 semantics)
+            record_at = L - levels_up - 1
             node_mid = jnp.zeros(n, jnp.int32)
             for level in range(L):
                 ch = children_c[cur]                      # (N, k)
@@ -106,7 +109,7 @@ class Vocabulary:
                 # leaves can appear early if the tree is ragged
                 has_child = nxt >= 0
                 cur = jnp.where(has_child, nxt, cur)
-                if level == stop_level:
+                if level == record_at:
                     node_mid = cur
             node_mid = jnp.where(valid, node_mid, -1)
             leaf = jnp.where(valid, cur, -1)

@@ -44,6 +44,8 @@ class LocalMapper:
         self._bounds_dev = jnp.asarray(self.bounds)
         self.current_kf = -1
         self._buckets = StickyBuckets(fuse=512, K=16, P=1024, E=4096)
+        # per-processed-keyframe callbacks (Monopub stream contract)
+        self.on_keyframe: List = []
 
     # -- queue / thread-protocol surface (ref: LocalMapping.h:50-68) ----
     def insert_keyframe(self, kf: int):
@@ -88,6 +90,8 @@ class LocalMapper:
             self._cull_keyframes(kf)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf)
+        for cb in self.on_keyframe:
+            cb(kf)
 
     # ------------------------------------------------------------------
     def _process_new_keyframe(self, kf: int):

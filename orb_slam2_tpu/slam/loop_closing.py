@@ -1,0 +1,518 @@
+"""Loop closing: detection, Sim3 estimation, correction, global optimization.
+
+Equivalent of LoopClosing (ref: src/LoopClosing.cc, 778 LoC): BoW
+candidate detection with 3-consecutive covisibility-consistency voting
+(:103-229), Sim3 RANSAC + refinement + guided projection acceptance
+(:231-400), and loop correction — Sim3 propagation over the covisible
+window, loop-point fusion, essential-graph optimization, and global BA
+(:402-757).  The fork's `loop_detected` flag (consumed by the grid-map
+publisher, ref src/LoopClosing.cc:750) is kept.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam2_tpu.config import Sensor, Settings
+from orb_slam2_tpu.geometry import sim3 as sim3_geo
+from orb_slam2_tpu.ops import matching
+from orb_slam2_tpu.slam.map_store import MapStore
+from orb_slam2_tpu.solvers import pose_graph
+from orb_slam2_tpu.solvers import sim3_solver
+from orb_slam2_tpu.utils import bucket_size, pad_rows
+
+COVISIBILITY_CONSISTENCY_TH = 3   # ref: LoopClosing ctor
+
+
+class LoopCloser:
+    def __init__(self, settings: Settings, sensor: Sensor, store: MapStore,
+                 kf_database, local_mapper=None):
+        self.s = settings
+        self.sensor = sensor
+        self.store = store
+        self.db = kf_database
+        self.local_mapper = local_mapper
+        self.queue: List[int] = []
+        self.last_loop_kf = -1000
+        self.loop_detected = False        # fork flag (Monopub contract)
+        self.loops_closed = 0
+        self._consistent_groups: List[Tuple[Set[int], int]] = []
+        self.level_sigma2 = settings.level_sigma2().astype(np.float32)
+        self.scale_factors = settings.scale_factors().astype(np.float32)
+        self.log_scale = float(np.log(settings.scale_factor))
+        w, h = settings.width, settings.height
+        self.bounds = np.array([0.0, w, 0.0, h], np.float32)
+        self.rng = np.random.default_rng(0)
+        # stream callbacks (fork Monopub contract, see mapping2d.stream)
+        self.on_loop: List = []
+
+    # ------------------------------------------------------------------
+    def insert_keyframe(self, kf: int):
+        self.queue.append(kf)
+
+    def reset(self, store: MapStore):
+        self.store = store
+        self.queue.clear()
+        self._consistent_groups.clear()
+        self.last_loop_kf = -1000
+        if self.db is not None:
+            self.db.clear()
+
+    def spin(self):
+        while self.queue:
+            self.process_one()
+
+    def process_one(self):
+        if not self.queue:
+            return
+        kf = self.queue.pop(0)
+        if not self.store.kf_valid[kf]:
+            return
+        self.store.kf_not_erase[kf] = True
+        try:
+            candidate = self._detect_loop(kf)
+            if candidate is None:
+                return
+            ok = self._compute_sim3_and_correct(kf, candidate)
+            if ok:
+                self.loop_detected = True
+                self.loops_closed += 1
+                self.last_loop_kf = kf
+                self.store.big_change_idx += 1
+                for cb in self.on_loop:
+                    cb(kf)
+        finally:
+            self.store.set_not_erase(kf, False)
+
+    # ------------------------------------------------------------------
+    def _detect_loop(self, kf: int) -> Optional[int]:
+        """ref: LoopClosing::DetectLoop (src/LoopClosing.cc:103-229)."""
+        store = self.store
+        if kf - self.last_loop_kf < 10 or store.n_kf < 10:
+            self.db.add(kf, store.kf_word[kf])
+            return None
+
+        # min score against covisible neighbors (ref :121-138)
+        neighbors = store.ordered_covisibles(kf)
+        ids_kf, w_kf = self.db.voc.bow_vector(store.kf_word[kf])
+        min_score = 1.0
+        for nb in neighbors:
+            if nb in self.db.bow:
+                min_score = min(
+                    min_score, self.db.score_against(ids_kf, w_kf, nb))
+
+        candidates = self.db.detect_loop_candidates(
+            kf, min_score, store, ids=ids_kf, weights=w_kf)
+        if not candidates:
+            self.db.add(kf, store.kf_word[kf])
+            self._consistent_groups.clear()
+            return None
+
+        # 3-consecutive covisibility-consistency vote (ref :152-211)
+        enough: List[int] = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        for cand in candidates:
+            group = set(store.best_covisibles(cand, 30)) | {cand}
+            consistent = False
+            for prev_group, count in self._consistent_groups:
+                if group & prev_group:
+                    new_groups.append((group, count + 1))
+                    consistent = True
+                    if count + 1 >= COVISIBILITY_CONSISTENCY_TH:
+                        enough.append(cand)
+                    break
+            if not consistent:
+                new_groups.append((group, 0))
+        self._consistent_groups = new_groups
+        self.db.add(kf, store.kf_word[kf])
+        if not enough:
+            return None
+        return enough[0]
+
+    # ------------------------------------------------------------------
+    def _match_by_bow(self, kf1: int, kf2: int):
+        """Node-aligned matching of the two keyframes' bound features."""
+        store = self.store
+        b1 = store.kf_obs[kf1]
+        has1 = (b1 >= 0) & store.pt_valid[np.where(b1 >= 0, b1, 0)]
+        b2 = store.kf_obs[kf2]
+        has2 = (b2 >= 0) & store.pt_valid[np.where(b2 >= 0, b2, 0)]
+        m = matching.search_by_nodes(
+            store.kf_device(kf1, "desc"), store.kf_device(kf1, "node"),
+            jnp.asarray(has1), store.kf_device(kf1, "angle"),
+            store.kf_device(kf2, "desc"), store.kf_device(kf2, "node"),
+            jnp.asarray(has2), store.kf_device(kf2, "angle"),
+            ratio=0.75,
+        )
+        idx, _, ok = matching.to_host(m)
+        ok = ok & has1 & has2[np.clip(idx, 0, len(has2) - 1)]
+        return idx, ok
+
+    def _compute_sim3_and_correct(self, kf: int, cand: int) -> bool:
+        """ref: LoopClosing::ComputeSim3 (:231-400) + CorrectLoop (:402)."""
+        store = self.store
+        idx, ok = self._match_by_bow(kf, cand)
+        rows = np.nonzero(ok)[0]
+        if len(rows) < 20:
+            return False
+
+        pid1 = store.kf_obs[kf][rows]
+        pid2 = store.kf_obs[cand][idx[rows]]
+        T1 = store.kf_pose[kf]
+        T2 = store.kf_pose[cand]
+        pw1 = store.pt_pos[pid1]
+        pw2 = store.pt_pos[pid2]
+        pc1 = pw1 @ T1[:3, :3].T + T1[:3, 3]
+        pc2 = pw2 @ T2[:3, :3].T + T2[:3, 3]
+        uv1 = store.kf_xy[kf][rows]
+        uv2 = store.kf_xy[cand][idx[rows]]
+        oct1 = store.kf_octave[kf][rows]
+        oct2 = store.kf_octave[cand][idx[rows]]
+        max_err1 = 9.210 * self.level_sigma2[oct1]   # ref Sim3Solver :87
+        max_err2 = 9.210 * self.level_sigma2[oct2]
+
+        n = len(rows)
+        n_pad = bucket_size(n, 64)
+        pad = n_pad - n
+
+        def padr(a, fill=0.0):
+            return np.concatenate(
+                [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
+            ) if pad else a
+
+        mask = padr(np.ones(n, bool), False)
+        sample = self.rng.integers(0, n, (128, 3)).astype(np.int32)
+        fix_scale = self.sensor != Sensor.MONOCULAR
+        res = sim3_solver.solve_sim3_ransac(
+            jnp.asarray(padr(pc1.astype(np.float32))),
+            jnp.asarray(padr(pc2.astype(np.float32))),
+            jnp.asarray(padr(uv1.astype(np.float32))),
+            jnp.asarray(padr(uv2.astype(np.float32))),
+            jnp.asarray(padr(max_err1.astype(np.float32))),
+            jnp.asarray(padr(max_err2.astype(np.float32))),
+            jnp.asarray(mask),
+            jnp.asarray(sample),
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            fix_scale=fix_scale,
+        )
+        if not bool(res.success):
+            return False
+
+        inv_s2_1 = (1.0 / self.level_sigma2[oct1]).astype(np.float32)
+        inv_s2_2 = (1.0 / self.level_sigma2[oct2]).astype(np.float32)
+        R12, t12, s12, inl, n_inl = sim3_solver.refine_sim3(
+            jnp.asarray(padr(pc1.astype(np.float32))),
+            jnp.asarray(padr(pc2.astype(np.float32))),
+            jnp.asarray(padr(uv1.astype(np.float32))),
+            jnp.asarray(padr(uv2.astype(np.float32))),
+            jnp.asarray(padr(inv_s2_1)), jnp.asarray(padr(inv_s2_2)),
+            jnp.asarray(np.asarray(res.inliers) & mask),
+            res.R12, res.t12, res.s12,
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            fix_scale=fix_scale,
+        )
+        if int(n_inl) < 20:                        # ref :326-329
+            return False
+        R12 = np.asarray(R12)
+        t12 = np.asarray(t12)
+        s12 = float(np.asarray(s12))
+
+        # Scw: world -> current camera through the loop estimate
+        # (ref :340-345 gScm * gSmw)
+        S_cm = (R12, t12, s12)
+        T_mw = (T2[:3, :3], T2[:3, 3], 1.0)
+        Scw = sim3_geo.compose(
+            (jnp.asarray(R12), jnp.asarray(t12), jnp.asarray(np.float32(s12))),
+            (jnp.asarray(T2[:3, :3]), jnp.asarray(T2[:3, 3]),
+             jnp.asarray(np.float32(1.0))),
+        )
+        Scw_R = np.asarray(Scw[0])
+        Scw_t = np.asarray(Scw[1])
+        Scw_s = float(np.asarray(Scw[2]))
+
+        # gather loop map points from cand + neighbors (ref :357-372)
+        loop_kfs = [cand] + store.best_covisibles(cand, 20)
+        loop_pts = store.points_in_kfs(loop_kfs)
+        n_total = self._count_sim3_matches(kf, loop_pts, Scw_R, Scw_t, Scw_s)
+        if n_total < 40:                           # ref :374-385
+            return False
+
+        self._correct_loop(kf, cand, R12, t12, s12, Scw_R, Scw_t, Scw_s,
+                           loop_pts)
+        return True
+
+    def _count_sim3_matches(self, kf, loop_pts, R, t, s) -> int:
+        store = self.store
+        if len(loop_pts) == 0:
+            return 0
+        M = bucket_size(len(loop_pts), 256)
+        free = store.kf_feat_valid[kf].copy()
+        m = matching.search_by_sim3_projection(
+            jnp.asarray(pad_rows(store.pt_pos[loop_pts], M)),
+            jnp.asarray(pad_rows(np.ones(len(loop_pts), bool), M, False)),
+            jnp.asarray(pad_rows(store.pt_desc[loop_pts], M)),
+            jnp.asarray(pad_rows(store.pt_min_dist[loop_pts], M)),
+            jnp.asarray(pad_rows(store.pt_max_dist[loop_pts], M)),
+            jnp.asarray(R.astype(np.float32)),
+            jnp.asarray(t.astype(np.float32)), jnp.float32(s),
+            store.kf_device(kf, "xy"), store.kf_device(kf, "octave"),
+            store.kf_device(kf, "desc"), jnp.asarray(free),
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            jnp.asarray(self.bounds), jnp.asarray(self.scale_factors),
+            self.log_scale, self.s.n_levels,
+            jnp.float32(10.0),
+        )
+        _, _, ok = matching.to_host(m)
+        self._last_sim3_matches = (m, ok)
+        # total = existing BoW matches (bound features) + new projections
+        bound = store.kf_obs[kf] >= 0
+        return int(ok.sum())
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kf, cand, R12, t12, s12, Scw_R, Scw_t, Scw_s,
+                      loop_pts):
+        """ref: LoopClosing::CorrectLoop (src/LoopClosing.cc:402-643)."""
+        store = self.store
+        if self.local_mapper is not None:
+            self.local_mapper.interrupt_ba()
+
+        # snapshot pre-correction poses for relative measurements
+        pre_pose = {int(k): store.kf_pose[k].copy()
+                    for k in store.valid_kf_ids()}
+
+        # corrected Sim3 for current KF + covisible window (ref :436-460)
+        window = [kf] + store.best_covisibles(kf, 1000)
+        T_kf = pre_pose[kf]
+        corrected: Dict[int, tuple] = {}
+        Scw_np = (Scw_R, Scw_t, Scw_s)
+        for ki in window:
+            Ti = pre_pose[ki]
+            # S_i_kf = T_i_w * T_w_kf  (scale 1)
+            T_i_kf = Ti @ np.linalg.inv(T_kf)
+            S_i_kf = (T_i_kf[:3, :3], T_i_kf[:3, 3], 1.0)
+            corrected[ki] = _sim3_compose_np(S_i_kf, Scw_np)
+
+        # correct map points of the window (ref :462-498)
+        done_pts: Set[int] = set()
+        for ki in window:
+            Sc = corrected[ki]
+            S_old = (pre_pose[ki][:3, :3], pre_pose[ki][:3, 3], 1.0)
+            Sc_inv = _sim3_inverse_np(Sc)
+            row = store.kf_obs[ki]
+            for pid in row[row >= 0]:
+                pid = int(pid)
+                if pid in done_pts or not store.pt_valid[pid]:
+                    continue
+                done_pts.add(pid)
+                pw = store.pt_pos[pid]
+                store.pt_pos[pid] = _sim3_apply_np(
+                    Sc_inv, _sim3_apply_np(S_old, pw))
+            # corrected pose: SE3 with scale divided out (ref :500-507)
+            R, t, s = corrected[ki]
+            Tn = np.eye(4, dtype=np.float32)
+            Tn[:3, :3] = R
+            Tn[:3, 3] = t / s
+            store.kf_pose[ki] = Tn
+            store.update_connections(ki)
+
+        # fuse loop points into the current KF (ref :519-536 + SearchAndFuse)
+        old_connections = {ki: set(store.covis.get(ki, {}))
+                          for ki in window}
+        self._search_and_fuse(window, loop_pts, corrected)
+
+        # new covisibility links from fusion (ref :546-565)
+        loop_connections: Dict[int, Set[int]] = {}
+        for ki in window:
+            store.update_connections(ki)
+            new_links = set(store.covis.get(ki, {})) \
+                - old_connections.get(ki, set()) - set(window)
+            if new_links:
+                loop_connections[ki] = new_links
+
+        store.add_loop_edge(kf, cand)
+
+        # essential-graph optimization (ref :568-578)
+        self._optimize_essential_graph(
+            kf, cand, corrected, pre_pose, loop_connections)
+
+        # global bundle adjustment (ref :580 RunGlobalBundleAdjustment)
+        if self.local_mapper is not None:
+            self.local_mapper.global_bundle_adjustment(
+                iters=10, fixed_kf=store.origin_kf, loop_kf=kf)
+
+    def _search_and_fuse(self, window, loop_pts, corrected):
+        """Project loop points into each corrected keyframe and replace
+        conflicting bindings (ref: SearchAndFuse src/LoopClosing.cc:588)."""
+        store = self.store
+        if len(loop_pts) == 0:
+            return
+        M = bucket_size(len(loop_pts), 256)
+        for ki in window:
+            R, t, s = corrected[ki]
+            m = matching.search_by_sim3_projection(
+                jnp.asarray(pad_rows(store.pt_pos[loop_pts], M)),
+                jnp.asarray(pad_rows(
+                    np.ones(len(loop_pts), bool), M, False)),
+                jnp.asarray(pad_rows(store.pt_desc[loop_pts], M)),
+                jnp.asarray(pad_rows(store.pt_min_dist[loop_pts], M)),
+                jnp.asarray(pad_rows(store.pt_max_dist[loop_pts], M)),
+                jnp.asarray(R.astype(np.float32)),
+                jnp.asarray(t.astype(np.float32)), jnp.float32(s),
+                store.kf_device(ki, "xy"), store.kf_device(ki, "octave"),
+                store.kf_device(ki, "desc"),
+                jnp.asarray(store.kf_feat_valid[ki]),
+                jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                jnp.asarray(self.bounds), jnp.asarray(self.scale_factors),
+                self.log_scale, self.s.n_levels,
+                jnp.float32(4.0),
+            )
+            idx, _, ok = matching.to_host(m)
+            for row in np.nonzero(ok[: len(loop_pts)])[0]:
+                pid_new = int(loop_pts[row])
+                feat = int(idx[row])
+                if not store.pt_valid[pid_new]:
+                    continue
+                existing = int(store.kf_obs[ki, feat])
+                if existing >= 0 and store.pt_valid[existing]:
+                    store.replace_point(existing, pid_new)
+                else:
+                    store.add_observation(pid_new, ki, feat)
+                    store.compute_distinctive_descriptor(pid_new)
+
+    def _optimize_essential_graph(self, kf, cand, corrected, pre_pose,
+                                  loop_connections):
+        """ref: Optimizer::OptimizeEssentialGraph (src/Optimizer.cc:781):
+        Sim3 pose graph over spanning tree + loop edges + strong
+        covisibility, loop keyframe fixed."""
+        store = self.store
+        kfs = [int(k) for k in store.valid_kf_ids()]
+        index = {k: i for i, k in enumerate(kfs)}
+        K = len(kfs)
+
+        R = np.zeros((K, 3, 3), np.float32)
+        t = np.zeros((K, 3), np.float32)
+        s = np.ones(K, np.float32)
+        fixed = np.zeros(K, bool)
+        for k, i in index.items():
+            if k in corrected:
+                Rc, tc, sc = corrected[k]
+                R[i], t[i], s[i] = Rc, tc, sc
+            else:
+                T = store.kf_pose[k]
+                R[i], t[i] = T[:3, :3], T[:3, 3]
+        fixed[index[cand]] = True                  # ref :830
+
+        def rel_measure(ki, kj, use_pre=True):
+            """S_j_i measured from (pre-correction) poses."""
+            Ti = pre_pose.get(ki, store.kf_pose[ki])
+            Tj = pre_pose.get(kj, store.kf_pose[kj])
+            Tji = Tj @ np.linalg.inv(Ti)
+            return Tji[:3, :3], Tji[:3, 3], 1.0
+
+        e_i, e_j, mR, mt, ms = [], [], [], [], []
+        added = set()
+
+        def add_edge(ki, kj, meas=None):
+            key = (min(ki, kj), max(ki, kj))
+            if key in added or ki == kj:
+                return
+            if ki not in index or kj not in index:
+                return
+            added.add(key)
+            if meas is None:
+                meas = rel_measure(ki, kj)
+            e_i.append(index[ki])
+            e_j.append(index[kj])
+            mR.append(meas[0])
+            mt.append(meas[1])
+            ms.append(meas[2])
+
+        # the new loop edge, measured from CORRECTED relative pose
+        Sk = corrected[kf]
+        Tc = pre_pose[cand]
+        S_cand = (Tc[:3, :3], Tc[:3, 3], 1.0)
+        S_loop = _sim3_compose_np(Sk, _sim3_inverse_np(S_cand))
+        add_edge(cand, kf, meas=S_loop)
+
+        for k in kfs:
+            parent = int(store.kf_parent[k])
+            if parent >= 0 and store.kf_valid[parent]:
+                add_edge(parent, k)
+            for le in store.kf_loop_edges.get(k, ()):
+                if store.kf_valid[le]:
+                    add_edge(le, k)
+            for nb in store.covisibles_by_weight(k, 100):
+                add_edge(nb, k)
+        for ki, links in loop_connections.items():
+            for kj in links:
+                add_edge(ki, kj)
+
+        E = max(len(e_i), 1)
+        prob = pose_graph.PoseGraphProblem(
+            jnp.asarray(R), jnp.asarray(t), jnp.asarray(s),
+            jnp.asarray(fixed), jnp.asarray(np.ones(K, bool)),
+            jnp.asarray(np.array(e_i, np.int32)),
+            jnp.asarray(np.array(e_j, np.int32)),
+            jnp.asarray(np.stack(mR).astype(np.float32)),
+            jnp.asarray(np.stack(mt).astype(np.float32)),
+            jnp.asarray(np.array(ms, np.float32)),
+            jnp.asarray(np.ones(len(e_i), bool)),
+        )
+        R_o, t_o, s_o = pose_graph.optimize(prob, iters=20)
+        R_o = np.asarray(R_o)
+        t_o = np.asarray(t_o)
+        s_o = np.asarray(s_o)
+
+        # write back SE3 poses [R, t/s] and remap points via their
+        # reference keyframe's correction (ref :991-1043)
+        old_Siw = {k: (store.kf_pose[k][:3, :3].copy(),
+                       store.kf_pose[k][:3, 3].copy(), 1.0) for k in kfs}
+        # points first (need old & new pose of the reference KF)
+        for pid in store.valid_pt_ids():
+            pid = int(pid)
+            ref = int(store.pt_ref_kf[pid])
+            if ref not in index:
+                obs = store.pt_obs.get(pid, {})
+                ref = next(iter(obs)) if obs else -1
+                if ref not in index:
+                    continue
+            i = index[ref]
+            S_new = (R_o[i], t_o[i], float(s_o[i]))
+            S_old = old_Siw[ref]
+            pw = store.pt_pos[pid]
+            store.pt_pos[pid] = _sim3_apply_np(
+                _sim3_inverse_np(S_new), _sim3_apply_np(S_old, pw))
+        for k, i in index.items():
+            Tn = np.eye(4, dtype=np.float32)
+            Tn[:3, :3] = R_o[i]
+            Tn[:3, 3] = t_o[i] / max(float(s_o[i]), 1e-12)
+            store.kf_pose[k] = Tn
+
+
+# ---------------------------------------------------------------------------
+# small numpy Sim3 helpers (host-side loop correction)
+# ---------------------------------------------------------------------------
+
+def _sim3_apply_np(S, p):
+    R, t, s = S
+    return s * (R @ p) + t
+
+
+def _sim3_compose_np(A, B):
+    """A o B: apply B first."""
+    Ra, ta, sa = A
+    Rb, tb, sb = B
+    return (Ra @ Rb, sa * (Ra @ tb) + ta, sa * sb)
+
+
+def _sim3_inverse_np(S):
+    R, t, s = S
+    Rt = R.T
+    return (Rt, -(Rt @ t) / s, 1.0 / s)

@@ -145,6 +145,10 @@ class MapStore:
 
         # device-side cache of immutable per-KF feature blocks
         self.kf_dev: Dict[int, dict] = {}
+        # callbacks invoked when a keyframe is erased (e.g. the BoW
+        # database's inverted-file removal, ref: KeyFrame::SetBadFlag
+        # calling mpKeyFrameDB->erase)
+        self.erase_hooks: list = []
 
     def kf_device(self, kf: int, key: str):
         """Device array for a keyframe feature field, cached (features are
@@ -508,6 +512,8 @@ class MapStore:
         self.kf_children[kf] = set()
         self.kf_valid[kf] = False
         self.kf_dev.pop(kf, None)
+        for hook in self.erase_hooks:
+            hook(kf)
 
     def set_not_erase(self, kf: int, flag: bool):
         """ref: KeyFrame::SetNotErase/SetErase deferred deletion."""

@@ -97,3 +97,82 @@ def solve_sim3_ransac(
     return Sim3Result(
         n_out >= min_inliers, R_out, t_out, s_out, inliers, n_out
     )
+
+
+@functools.partial(jax.jit, static_argnames=("fix_scale", "iters"))
+def refine_sim3(
+    pts1: jnp.ndarray,       # (N, 3) camera-1-frame 3D points
+    pts2: jnp.ndarray,       # (N, 3) matched camera-2-frame points
+    uv1: jnp.ndarray,        # (N, 2)
+    uv2: jnp.ndarray,        # (N, 2)
+    inv_sigma2_1: jnp.ndarray,  # (N,)
+    inv_sigma2_2: jnp.ndarray,
+    mask: jnp.ndarray,       # (N,)
+    R12, t12, s12,
+    fx, fy, cx, cy,
+    fix_scale: bool = False,
+    iters: int = 10,
+    chi2_th: float = 10.0,
+):
+    """Gauss-Newton refinement of S12 with both-direction projection
+    residuals + Huber, the TPU equivalent of Optimizer::OptimizeSim3
+    (ref: src/Optimizer.cc:1046-1241: EdgeSim3ProjectXYZ both ways,
+    5 iters -> drop chi2 > 10 outliers -> reoptimize).
+
+    Returns (R12, t12, s12, inlier_mask, n_inliers)."""
+    from orb_slam2_tpu.geometry import sim3
+
+    def residuals(S12, active):
+        S21 = sim3.inverse(S12)
+        p1 = sim3.apply(S12, pts2)          # cam2 pts -> cam1 frame
+        p2 = sim3.apply(S21, pts1)
+        e1 = (_project(p1, fx, fy, cx, cy) - uv1) * jnp.sqrt(
+            inv_sigma2_1)[:, None]
+        e2 = (_project(p2, fx, fy, cx, cy) - uv2) * jnp.sqrt(
+            inv_sigma2_2)[:, None]
+        r = jnp.concatenate([e1, e2], -1)   # (N, 4)
+        return jnp.where(active[:, None], r, 0.0)
+
+    def gn_iter(carry, _):
+        R, t, s, active = carry
+        S0 = (R, t, s)
+
+        def err_from_xi(xi):
+            if fix_scale:
+                xi = xi.at[6].set(0.0)
+            S = sim3.compose(sim3.exp(xi), S0)
+            return residuals(S, active).reshape(-1)
+
+        xi0 = jnp.zeros(7, pts1.dtype)
+        J = jax.jacfwd(err_from_xi)(xi0)        # (4N, 7)
+        r = err_from_xi(xi0)
+        H = J.T @ J + 1e-6 * jnp.eye(7, dtype=J.dtype)
+        g = J.T @ r
+        xi = -jnp.linalg.solve(H, g)
+        if fix_scale:
+            xi = xi.at[6].set(0.0)
+        S_new = sim3.compose(sim3.exp(xi), S0)
+        better = jnp.sum(err_from_xi(xi) ** 2) < jnp.sum(r ** 2) + 1e-12
+        R_n, t_n, s_n = S_new
+        R = jnp.where(better, R_n, R)
+        t = jnp.where(better, t_n, t)
+        s = jnp.where(better, s_n, s)
+        return (R, t, s, active), None
+
+    active = mask
+    (R, t, s, _), _ = jax.lax.scan(
+        gn_iter, (R12, t12, s12, active), None, length=iters // 2
+    )
+    # outlier rejection at chi2 > 10 per direction (ref :1189-1206)
+    r = residuals((R, t, s), mask)
+    chi1 = jnp.sum(r[:, :2] ** 2, -1)
+    chi2_ = jnp.sum(r[:, 2:] ** 2, -1)
+    active = mask & (chi1 <= chi2_th) & (chi2_ <= chi2_th)
+    (R, t, s, _), _ = jax.lax.scan(
+        gn_iter, (R, t, s, active), None, length=iters - iters // 2
+    )
+    r = residuals((R, t, s), active)
+    chi1 = jnp.sum(r[:, :2] ** 2, -1)
+    chi2_ = jnp.sum(r[:, 2:] ** 2, -1)
+    inl = active & (chi1 <= chi2_th) & (chi2_ <= chi2_th)
+    return R, t, s, inl, jnp.sum(inl)

@@ -53,6 +53,7 @@ class System:
             from orb_slam2_tpu.slam.loop_closing import LoopCloser
 
             self.kf_database = KeyFrameDatabase(vocabulary)
+            self.store.erase_hooks.append(self.kf_database.erase)
             self.loop_closer = LoopCloser(
                 settings, sensor, self.store, self.kf_database,
             )

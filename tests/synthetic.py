@@ -40,14 +40,23 @@ class PlaneScene:
     """
 
     def __init__(self, K: np.ndarray, h: int, w: int,
-                 n=(0.0, 0.25, 1.0), d: float = 3.0, seed: int = 7):
+                 n=(0.0, 0.25, 1.0), d: float = 3.0, seed: int = 7,
+                 wrap: bool = True, tex_scale: int = 1):
+        """tex_scale > 1 gives the plane a texture `tex_scale` times
+        larger than one view, centred on the reference view — long
+        trajectories see unique structure (needed for loop-closure tests
+        where a tiling period shorter than the excursion would alias)."""
+        self.wrap = wrap
         self.K = np.asarray(K, np.float64)
         self.Kinv = np.linalg.inv(self.K)
         n = np.asarray(n, np.float64)
         self.n = n / np.linalg.norm(n)
         self.d = d
         self.h, self.w = h, w
-        self.tex = make_texture(h, w, seed)
+        self.th, self.tw = h * tex_scale, w * tex_scale
+        self.off_y = (self.th - h) // 2
+        self.off_x = (self.tw - w) // 2
+        self.tex = make_texture(self.th, self.tw, seed)
 
     def homography(self, Tcw: np.ndarray) -> np.ndarray:
         """H mapping reference-image pixels -> current-view pixels.
@@ -71,16 +80,29 @@ class PlaneScene:
         pts = np.stack([u, v, ones], -1) @ Hinv.T
         mx = (pts[..., 0] / pts[..., 2]).astype(np.float32)
         my = (pts[..., 1] / pts[..., 2]).astype(np.float32)
-        # texture tiles: the plane is effectively infinite, so long
-        # trajectories never run out of trackable structure
+        # wrap=True tiles the texture (infinite plane, never runs out of
+        # structure); wrap=False clamps + blanks outside (unique texture,
+        # needed for place-recognition tests where tiling would alias)
+        mx = mx + self.off_x
+        my = my + self.off_y
         x0 = np.floor(mx).astype(np.int64)
         y0 = np.floor(my).astype(np.int64)
         wx = mx - x0
         wy = my - y0
-        x0 %= self.w
-        y0 %= self.h
-        x1 = (x0 + 1) % self.w
-        y1 = (y0 + 1) % self.h
+        if self.wrap:
+            x0 %= self.tw
+            y0 %= self.th
+            x1 = (x0 + 1) % self.tw
+            y1 = (y0 + 1) % self.th
+        else:
+            inside = (
+                (mx >= 0) & (mx <= self.tw - 1)
+                & (my >= 0) & (my <= self.th - 1)
+            )
+            x0 = np.clip(x0, 0, self.tw - 1)
+            y0 = np.clip(y0, 0, self.th - 1)
+            x1 = np.clip(x0 + 1, 0, self.tw - 1)
+            y1 = np.clip(y0 + 1, 0, self.th - 1)
         f = self.tex
         out = (
             f[y0, x0] * (1 - wx) * (1 - wy)
@@ -89,6 +111,8 @@ class PlaneScene:
             + f[y1, x1] * wx * wy
         )
         behind = pts[..., 2] <= 1e-9
+        if not self.wrap:
+            out = np.where(inside, out, 0.0)
         return np.where(behind, 0.0, out).astype(np.float32)
 
     def depth_at(self, Tcw: np.ndarray) -> np.ndarray:
@@ -136,5 +160,97 @@ def straight_trajectory(n: int, step: float = 0.02,
         Tcw = np.eye(4)
         Tcw[:3, :3] = Rwc.T
         Tcw[:3, 3] = -Rwc.T @ twc
+        poses.append(Tcw.astype(np.float32))
+    return poses
+
+
+class CylinderScene:
+    """Camera orbiting inside a textured cylinder — the canonical
+    loop-closure scenario: a 360-degree circuit returns to the start with
+    accumulated drift, and the revisit is NOT covisibility-connected.
+
+    World: cylinder of radius R around the y-axis, texture wrapping in
+    azimuth (seam at theta = pi) and tiling vertically.
+    """
+
+    def __init__(self, K: np.ndarray, h: int, w: int, radius: float = 6.0,
+                 px_per_m: float = 120.0, seed: int = 11):
+        self.K = np.asarray(K, np.float64)
+        self.h, self.w = h, w
+        self.R = radius
+        self.px_per_m = px_per_m
+        circumference = 2 * np.pi * radius
+        tw = int(round(circumference * px_per_m))
+        th = 512
+        self.tex = make_texture(th, tw, seed)
+
+    def _trace(self, Tcw: np.ndarray):
+        """Per-pixel ray-cylinder hit: returns (theta, y, depth)."""
+        R_cw = Tcw[:3, :3]
+        t = Tcw[:3, 3]
+        C = -R_cw.T @ t                       # camera center (world)
+        u, v = np.meshgrid(np.arange(self.w, dtype=np.float64),
+                           np.arange(self.h, dtype=np.float64))
+        rays_c = np.stack(
+            [(u - self.K[0, 2]) / self.K[0, 0],
+             (v - self.K[1, 2]) / self.K[1, 1],
+             np.ones_like(u)], -1)
+        rays_w = rays_c @ R_cw                # R_cw^T applied row-wise
+        # |C_xz + s * d_xz|^2 = R^2, take the positive root
+        dx, dz = rays_w[..., 0], rays_w[..., 2]
+        cx_, cz_ = C[0], C[2]
+        a = dx * dx + dz * dz
+        b = 2 * (cx_ * dx + cz_ * dz)
+        c = cx_ * cx_ + cz_ * cz_ - self.R * self.R
+        disc = np.maximum(b * b - 4 * a * c, 0.0)
+        s = (-b + np.sqrt(disc)) / np.maximum(2 * a, 1e-12)
+        hit = C[None, None, :] + s[..., None] * rays_w
+        theta = np.arctan2(hit[..., 0], hit[..., 2])
+        y = hit[..., 1]
+        return theta, y, s
+
+    def render(self, Tcw: np.ndarray) -> np.ndarray:
+        theta, y, s = self._trace(Tcw)
+        tw = self.tex.shape[1]
+        th_ = self.tex.shape[0]
+        mx = (theta + np.pi) / (2 * np.pi) * tw
+        my = y * self.px_per_m
+        x0 = np.floor(mx).astype(np.int64) % tw
+        y0 = np.floor(my).astype(np.int64) % th_
+        x1 = (x0 + 1) % tw
+        y1 = (y0 + 1) % th_
+        wx = (mx - np.floor(mx))
+        wy = (my - np.floor(my))
+        f = self.tex
+        out = (
+            f[y0, x0] * (1 - wx) * (1 - wy)
+            + f[y0, x1] * wx * (1 - wy)
+            + f[y1, x0] * (1 - wx) * wy
+            + f[y1, x1] * wx * wy
+        )
+        return out.astype(np.float32)
+
+    def depth_at(self, Tcw: np.ndarray) -> np.ndarray:
+        _, _, s = self._trace(Tcw)
+        # depth = z-component of the hit in camera frame = s (rays have
+        # z=1 in camera frame before rotation) -> depth = s
+        return s.astype(np.float32)
+
+
+def circle_trajectory(n: int, orbit_r: float = 2.0,
+                      total_angle: float = 2 * np.pi) -> list:
+    """Camera positions on a circle, looking radially outward."""
+    poses = []
+    for i in range(n):
+        phi = total_angle * i / n
+        Cw = np.array([orbit_r * np.sin(phi), 0.0, orbit_r * np.cos(phi)])
+        # camera z looks outward (radial), x tangent, y down-ish
+        z_axis = np.array([np.sin(phi), 0.0, np.cos(phi)])
+        x_axis = np.array([np.cos(phi), 0.0, -np.sin(phi)])
+        y_axis = np.cross(z_axis, x_axis)
+        Rwc = np.stack([x_axis, y_axis, z_axis], -1)
+        Tcw = np.eye(4)
+        Tcw[:3, :3] = Rwc.T
+        Tcw[:3, 3] = -Rwc.T @ Cw
         poses.append(Tcw.astype(np.float32))
     return poses
