@@ -86,7 +86,7 @@ class Relocalizer:
             )
             if not bool(res.success):
                 continue
-            frame.Tcw = np.asarray(res.T, np.float32)
+            frame.Tcw = np.asarray(res.Tcw, np.float32)
             frame.bindings[:] = -1
             inl = np.asarray(res.inliers)[:n]
             frame.bindings[idx[rows[inl]]] = kf_pids[rows[inl]]

@@ -1,0 +1,203 @@
+"""Tests: vocabulary (training, descent, BoW, text I/O), keyframe
+database retrieval, grid mapping, and the streaming contract."""
+
+import numpy as np
+import pytest
+
+from orb_slam2_tpu.places.database import KeyFrameDatabase
+from orb_slam2_tpu.places.vocabulary import Vocabulary
+
+
+def random_descs(n, rng):
+    return rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint64).astype(
+        np.uint32)
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    rng = np.random.default_rng(0)
+    return Vocabulary.train(random_descs(2000, rng), k=6, L=3, levels_up=1)
+
+
+class TestVocabulary:
+    def test_tree_shape(self, vocab):
+        assert vocab.n_words > 100
+        # every non-root node has a parent
+        assert (vocab.node_parent[1:] >= 0).all()
+
+    def test_descent_determinism(self, vocab):
+        rng = np.random.default_rng(1)
+        d = random_descs(64, rng)
+        valid = np.ones(64, bool)
+        n1, w1 = vocab.assign_nodes(d, valid)
+        n2, w2 = vocab.assign_nodes(d, valid)
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(w1, w2)
+        assert (w1 >= 0).all()
+        assert (n1 >= 0).all()
+
+    def test_descent_matches_host_walk(self, vocab):
+        """Device descent must equal a reference host tree walk."""
+        rng = np.random.default_rng(2)
+        d = random_descs(32, rng)
+        _, words = vocab.assign_nodes(d, np.ones(32, bool))
+        from orb_slam2_tpu.places.vocabulary import _hamming_np
+
+        for i in range(32):
+            cur = 0
+            while True:
+                ch = vocab.node_children[cur]
+                ch = ch[ch >= 0]
+                if len(ch) == 0:
+                    break
+                dist = _hamming_np(d[i:i + 1], vocab.node_desc[ch])[0]
+                cur = int(ch[np.argmin(dist)])
+            assert vocab.word_of_node[cur] == words[i]
+
+    def test_bow_vector_normalized(self, vocab):
+        rng = np.random.default_rng(3)
+        d = random_descs(128, rng)
+        _, w = vocab.assign_nodes(d, np.ones(128, bool))
+        ids, weights = vocab.bow_vector(w)
+        assert abs(weights.sum() - 1.0) < 1e-5
+        assert (np.diff(ids) > 0).all()
+
+    def test_self_similarity(self, vocab):
+        rng = np.random.default_rng(4)
+        d = random_descs(128, rng)
+        _, w = vocab.assign_nodes(d, np.ones(128, bool))
+        ids, weights = vocab.bow_vector(w)
+        assert Vocabulary.score_l1(ids, weights, ids, weights) \
+            == pytest.approx(1.0, abs=1e-5)
+        d2 = random_descs(128, np.random.default_rng(5))
+        _, w2 = vocab.assign_nodes(d2, np.ones(128, bool))
+        ids2, weights2 = vocab.bow_vector(w2)
+        cross = Vocabulary.score_l1(ids, weights, ids2, weights2)
+        assert cross < 0.9
+
+    def test_text_roundtrip(self, vocab, tmp_path):
+        """save_text / load_text reproduce tree descent (ORBvoc.txt
+        format, ref: TemplatedVocabulary.h:1338)."""
+        p = tmp_path / "voc.txt"
+        vocab.save_text(str(p))
+        v2 = Vocabulary.load_text(str(p), levels_up=1)
+        assert v2.k == vocab.k and v2.L == vocab.L
+        assert v2.n_words == vocab.n_words
+        rng = np.random.default_rng(6)
+        d = random_descs(64, rng)
+        _, w1 = vocab.assign_nodes(d, np.ones(64, bool))
+        _, w2 = v2.assign_nodes(d, np.ones(64, bool))
+        # word ids are renumbered consistently: the partition must match
+        assert len(np.unique(w1)) == len(np.unique(w2))
+        m1 = {}
+        for a, b in zip(w1, w2):
+            assert m1.setdefault(a, b) == b
+
+
+class _FakeStore:
+    """Minimal store protocol for database tests."""
+
+    def __init__(self, n):
+        self.kf_valid = np.ones(n, bool)
+        self.covis = {i: {} for i in range(n)}
+
+    def best_covisibles(self, kf, k):
+        c = self.covis.get(kf, {})
+        return sorted(c, key=c.get, reverse=True)[:k]
+
+
+class TestKeyFrameDatabase:
+    def test_reloc_candidates_find_twin(self, vocab):
+        rng = np.random.default_rng(7)
+        store = _FakeStore(6)
+        db = KeyFrameDatabase(vocab)
+        base = random_descs(120, rng)
+        words = []
+        for i in range(6):
+            d = base.copy() if i == 3 else random_descs(120, rng)
+            _, w = vocab.assign_nodes(d, np.ones(len(d), bool))
+            words.append(w)
+            db.add(i, w)
+        # query with kf 3's exact descriptors
+        cands = db.detect_reloc_candidates(words[3], store)
+        assert 3 in cands
+
+    def test_loop_candidates_exclude_covisible(self, vocab):
+        rng = np.random.default_rng(8)
+        store = _FakeStore(4)
+        db = KeyFrameDatabase(vocab)
+        base = random_descs(120, rng)
+        for i in range(4):
+            _, w = vocab.assign_nodes(base, np.ones(len(base), bool))
+            db.add(i, w)
+        store.covis[3] = {2: 50}     # 2 covisible with the query
+        ids, weights = db.bow[3]
+        cands = db.detect_loop_candidates(
+            3, 0.01, store, ids=ids, weights=weights)
+        assert 2 not in cands
+        assert any(c in (0, 1) for c in cands)
+
+    def test_erase(self, vocab):
+        rng = np.random.default_rng(9)
+        db = KeyFrameDatabase(vocab)
+        d = random_descs(50, rng)
+        _, w = vocab.assign_nodes(d, np.ones(50, bool))
+        db.add(0, w)
+        db.erase(0)
+        assert 0 not in db.bow
+        assert all(0 not in s for s in db.inverted.values())
+
+
+class TestGridMap:
+    def _store_with_wall(self):
+        from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
+
+        n = 8
+        m = MapStore(n, kf_cap=4, pt_cap=64)
+        ff = FrameFeatures(
+            xy=np.zeros((n, 2), np.float32),
+            xy_raw=np.zeros((n, 2), np.float32),
+            ur=np.full(n, 1.0, np.float32),
+            depth=np.full(n, 1.0, np.float32),
+            octave=np.zeros(n, np.int32),
+            angle=np.zeros(n, np.float32),
+            desc=np.zeros((n, 8), np.uint32),
+            valid=np.ones(n, bool),
+            node=np.full(n, -1, np.int32),
+            word=np.full(n, -1, np.int32),
+        )
+        kf = m.add_keyframe(ff, np.eye(4, dtype=np.float32), 0.0, 0)
+        # wall of points at z = 5, x in [-2, 2]
+        for i, x in enumerate(np.linspace(-2, 2, n)):
+            pid = m.add_point(np.array([x, 0.0, 5.0]), kf, ff.desc[i])
+            m.add_observation(pid, kf, i)
+        return m
+
+    def test_grid_builds_free_and_occupied(self):
+        from orb_slam2_tpu.mapping2d.gridmap import GridMapper, GridParams
+
+        m = self._store_with_wall()
+        p = GridParams(scale_factor=2.0, cloud_min_x=-10, cloud_max_x=10,
+                       cloud_min_z=-10, cloud_max_z=10)
+        g = GridMapper(m, p)
+        g.update_keyframe(0)
+        occ = g.occupancy()
+        h, w = occ.shape
+        # camera cell at world (0,0) -> cell (20, 20); wall at z=5 ->
+        # row 30: free cells along the rays, occupied at the wall
+        assert (occ == 255).sum() > 5, "expected free cells"
+        assert (occ[30] == 0).sum() >= 4, "expected occupied wall cells"
+        # behind the wall stays unknown
+        assert (occ[35] == 128).all()
+
+    def test_pgm_roundtrip(self, tmp_path):
+        from orb_slam2_tpu.mapping2d.gridmap import save_pgm
+
+        g = np.array([[0, 128], [255, 128]], np.uint8)
+        p = tmp_path / "g.pgm"
+        save_pgm(g, str(p))
+        txt = open(p).read().split()
+        assert txt[0] == "P2"
+        assert txt[1:3] == ["2", "2"]
+        vals = list(map(int, txt[4:]))
+        assert vals == [0, 128, 255, 128]
