@@ -79,15 +79,21 @@ class LocalMapper:
         kf = self.queue.pop(0)
         self.current_kf = kf
         self.abort_ba = False
-        self._process_new_keyframe(kf)
-        self._cull_map_points(kf)
-        self._create_new_map_points(kf)
+        lock = self.store.lock
+        with lock:
+            self._process_new_keyframe(kf)
+        with lock:
+            self._cull_map_points(kf)
+        with lock:
+            self._create_new_map_points(kf)
         if not self.queue:
-            self._search_in_neighbors(kf)
+            with lock:
+                self._search_in_neighbors(kf)
         if not self.queue and not self.abort_ba:
             if int(self.store.kf_valid.sum()) > 2:
                 self.local_bundle_adjustment(kf)
-            self._cull_keyframes(kf)
+            with lock:
+                self._cull_keyframes(kf)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf)
         for cb in self.on_keyframe:
@@ -334,7 +340,7 @@ class LocalMapper:
         pt_index = {int(p): i for i, p in enumerate(pids)}
         e_cam, e_pt, e_uv, e_is2, e_feat = [], [], [], [], []
         for i, pid in enumerate(pids):
-            for c, feat in store.pt_obs.get(int(pid), {}).items():
+            for c, feat in store.obs.items(int(pid)):
                 if c not in cam_index or not store.kf_valid[c]:
                     continue
                 u, v = store.kf_xy[c, feat]
@@ -377,13 +383,14 @@ class LocalMapper:
             return
         cam_set = set(cams)
         fixed = sorted({
-            c for p in pids for c in store.pt_obs.get(int(p), {})
+            c for p in pids for c, _f in store.obs.items(int(p))
             if c not in cam_set and store.kf_valid[c]
         })
         # gauge: fix origin / first keyframe if present (ref :471-475)
-        prob, cam_index, pids, e_feat = self._gather_ba_problem(
-            cams, fixed, pids
-        )
+        with self.store.lock:
+            prob, cam_index, pids, e_feat = self._gather_ba_problem(
+                cams, fixed, pids
+            )
         fx, fy, cx, cy, bf = self._intrinsics()
         cam_T, pts, _ = ba.optimize(
             prob, fx, fy, cx, cy, bf, iters=5, use_kernel=True, mode="dense"
@@ -403,6 +410,7 @@ class LocalMapper:
         prob3 = prob._replace(cam_T=cam_T, pts=pts)
         bad = np.asarray(ba.classify_outliers(prob3, fx, fy, cx, cy, bf))
         valid_e = np.asarray(prob.edge_mask)
+        self.store.lock.acquire()
         for e in np.nonzero(bad & valid_e)[0]:
             c, feat = e_feat[e]
             pid = int(store.kf_obs[c, feat])
@@ -421,6 +429,7 @@ class LocalMapper:
                 store.pt_pos[pid] = pts_np[i]
                 store.update_normal_and_depth(pid)
                 store.update_scale_band(pid, self.scale_factors)
+        self.store.lock.release()
 
     def global_bundle_adjustment(self, iters: int = 20,
                                  fixed_kf: Optional[int] = None,
@@ -488,7 +497,7 @@ class LocalMapper:
                     continue
                 level = int(store.kf_octave[cand, feat])
                 n_obs_finer = 0
-                for okf, ofeat in store.pt_obs.get(pid, {}).items():
+                for okf, ofeat in store.obs.items(pid):
                     if okf == cand:
                         continue
                     if int(store.kf_octave[okf, ofeat]) <= level + 1:

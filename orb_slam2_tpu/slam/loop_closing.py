@@ -479,8 +479,8 @@ class LoopCloser:
             pid = int(pid)
             ref = int(store.pt_ref_kf[pid])
             if ref not in index:
-                obs = store.pt_obs.get(pid, {})
-                ref = next(iter(obs)) if obs else -1
+                obs = store.obs.items(pid)
+                ref = obs[0][0] if obs else -1
                 if ref not in index:
                     continue
             i = index[ref]

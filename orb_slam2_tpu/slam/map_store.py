@@ -19,10 +19,13 @@ Conventions:
 from __future__ import annotations
 
 import pickle
+import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set
 
 import numpy as np
+
+from orb_slam2_tpu.native.obs_engine import distinctive_index, make_engine
 
 _POPCNT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 
@@ -134,7 +137,9 @@ class MapStore:
         self.pt_first_kf = np.full(pt_cap, -1, np.int64)
         self.pt_ref_kf = np.full(pt_cap, -1, np.int64)
         self.pt_replaced_by = np.full(pt_cap, -1, np.int64)
-        self.pt_obs: Dict[int, Dict[int, int]] = {}
+        # observation engine: point -> [(kf, feat)] (C++ mapcore when
+        # available; see native/mapcore.cpp)
+        self.obs = make_engine()
 
         # big-change counter (ref: Map::InformNewBigChange src/Map.cc:70)
         self.big_change_idx = 0
@@ -143,6 +148,10 @@ class MapStore:
         # per-feature replacement sweep when nothing changed
         self.replace_epoch = 0
 
+        # coarse map lock for the async scheduler (the reference's
+        # Map::mMutexMapUpdate, include/Map.h:73); a no-op under the
+        # synchronous deterministic scheduler
+        self.lock = threading.RLock()
         # device-side cache of immutable per-KF feature blocks
         self.kf_dev: Dict[int, dict] = {}
         # callbacks invoked when a keyframe is erased (e.g. the BoW
@@ -283,7 +292,6 @@ class MapStore:
         self.pt_ref_kf[pid] = ref_kf
         self.pt_visible[pid] = 1
         self.pt_found[pid] = 1
-        self.pt_obs[pid] = {}
         return pid
 
     def resolve_replaced(self, pid: int) -> int:
@@ -297,32 +305,31 @@ class MapStore:
     def add_observation(self, pid: int, kf: int, feat: int):
         """ref: MapPoint::AddObservation (src/MapPoint.cc:98-109);
         stereo features count twice toward nObs."""
-        obs = self.pt_obs[pid]
-        if kf in obs:
-            return
         prev = self.kf_obs[kf, feat]
         if prev >= 0 and prev != pid:
             self._unbind(int(prev), kf, feat)
-        obs[kf] = feat
-        self.kf_obs[kf, feat] = pid
-        self.pt_n_obs[pid] += 2 if self.kf_ur[kf, feat] >= 0 else 1
+        w = 2 if self.kf_ur[kf, feat] >= 0 else 1
+        if self.obs.add(pid, kf, feat, w):
+            self.kf_obs[kf, feat] = pid
+            self.pt_n_obs[pid] += w
 
     def _unbind(self, pid: int, kf: int, feat: int):
-        if self.pt_obs.get(pid, {}).get(kf) == feat:
-            del self.pt_obs[pid][kf]
+        if self.obs.find(pid, kf) == feat:
+            self.obs.erase(pid, kf)
             self.pt_n_obs[pid] -= 2 if self.kf_ur[kf, feat] >= 0 else 1
 
     def erase_observation(self, pid: int, kf: int):
         """ref: MapPoint::EraseObservation (src/MapPoint.cc:111-149)."""
-        obs = self.pt_obs.get(pid)
-        if obs is None or kf not in obs:
+        feat = self.obs.erase(pid, kf)
+        if feat < 0:
             return
-        feat = obs.pop(kf)
         if self.kf_obs[kf, feat] == pid:
             self.kf_obs[kf, feat] = -1
         self.pt_n_obs[pid] -= 2 if self.kf_ur[kf, feat] >= 0 else 1
-        if self.pt_ref_kf[pid] == kf and obs:
-            self.pt_ref_kf[pid] = next(iter(obs))
+        if self.pt_ref_kf[pid] == kf:
+            rest = self.obs.items(pid)
+            if rest:
+                self.pt_ref_kf[pid] = rest[0][0]
         if self.pt_n_obs[pid] <= 2:
             self.set_point_bad(pid)
 
@@ -331,10 +338,10 @@ class MapStore:
         if not self.pt_valid[pid]:
             return
         self.pt_valid[pid] = False
-        for kf, feat in list(self.pt_obs.get(pid, {}).items()):
+        for kf, feat in self.obs.items(pid):
             if self.kf_obs[kf, feat] == pid:
                 self.kf_obs[kf, feat] = -1
-        self.pt_obs[pid] = {}
+        self.obs.clear_point(pid)
         self.pt_n_obs[pid] = 0
 
     def replace_point(self, old: int, new: int):
@@ -342,17 +349,17 @@ class MapStore:
         observations of `old` at `new`, merge visible/found counters."""
         if old == new or not self.pt_valid[old]:
             return
-        obs_old = list(self.pt_obs.get(old, {}).items())
+        obs_old = self.obs.items(old)
         self.pt_valid[old] = False
         self.pt_replaced_by[old] = new
         self.replace_epoch += 1
         for kf, feat in obs_old:
             if self.kf_obs[kf, feat] == old:
                 self.kf_obs[kf, feat] = -1
-            if kf not in self.pt_obs.get(new, {}):
+            if self.obs.find(new, kf) < 0:
                 self.add_observation(new, kf, feat)
             # else: keyframe already sees `new`; drop the duplicate slot
-        self.pt_obs[old] = {}
+        self.obs.clear_point(old)
         self.pt_n_obs[old] = 0
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_found[new] += self.pt_found[old]
@@ -364,20 +371,15 @@ class MapStore:
     def compute_distinctive_descriptor(self, pid: int):
         """Min-median-Hamming representative descriptor
         (ref: MapPoint::ComputeDistinctiveDescriptors src/MapPoint.cc:242)."""
-        obs = self.pt_obs.get(pid, {})
+        obs = self.obs.items(pid)
         if not obs:
             return
-        descs = np.stack([self.kf_desc[kf, ft] for kf, ft in obs.items()])
-        if len(descs) == 1:
-            self.pt_desc[pid] = descs[0]
-            return
-        d = hamming_np(descs[:, None], descs[None, :])
-        med = np.median(d, axis=1)
-        self.pt_desc[pid] = descs[int(np.argmin(med))]
+        descs = np.stack([self.kf_desc[kf, ft] for kf, ft in obs])
+        self.pt_desc[pid] = descs[distinctive_index(descs)]
 
     def update_normal_and_depth(self, pid: int):
         """ref: MapPoint::UpdateNormalAndDepth (src/MapPoint.cc:330-371)."""
-        obs = self.pt_obs.get(pid, {})
+        obs = [kf for kf, _ in self.obs.items(pid)]
         if not obs or self.pt_ref_kf[pid] < 0:
             return
         pos = self.pt_pos[pid]
@@ -397,12 +399,12 @@ class MapStore:
         """Distance band from the reference keyframe's octave
         (ref: src/MapPoint.cc:360-368)."""
         ref = int(self.pt_ref_kf[pid])
-        obs = self.pt_obs.get(pid, {})
-        if ref not in obs:
+        feat = self.obs.find(pid, ref)
+        if feat < 0:
+            obs = self.obs.items(pid)
             if not obs:
                 return
-            ref = next(iter(obs))
-        feat = obs[ref]
+            ref, feat = obs[0]
         dist = np.linalg.norm(self.pt_pos[pid] - self.camera_center(ref))
         level = int(self.kf_octave[ref, feat])
         n_levels = len(scale_factors)
@@ -417,18 +419,15 @@ class MapStore:
         src/KeyFrame.cc:289-380): count keyframes sharing map points, keep
         edges with weight >= 15 (or the single best), mirror edges, and set
         the spanning-tree parent on first connection."""
-        counter: Dict[int, int] = {}
         row = self.kf_obs[kf]
-        for pid in row[row >= 0]:
-            for kf2 in self.pt_obs.get(int(pid), {}):
-                if kf2 != kf:
-                    counter[kf2] = counter.get(kf2, 0) + 1
-        if not counter:
+        kfs, counts = self.obs.observers_of(row[row >= 0], exclude_kf=kf)
+        if len(kfs) == 0:
             return
-        best_kf = max(counter, key=counter.get)
-        keep = {k: w for k, w in counter.items() if w >= min_weight}
+        best_kf = int(kfs[0])
+        keep = {int(k): int(w) for k, w in zip(kfs, counts)
+                if w >= min_weight}
         if not keep:
-            keep = {best_kf: counter[best_kf]}
+            keep = {best_kf: int(counts[0])}
         # drop stale mirrored edges
         for other in set(self.covis.get(kf, {})) - set(keep):
             self.covis.get(other, {}).pop(kf, None)
@@ -579,7 +578,11 @@ class MapStore:
             "kf_cap": self.kf_cap, "pt_cap": self.pt_cap,
             "big_change_idx": self.big_change_idx,
             "origin_kf": self.origin_kf,
-            "covis": self.covis, "pt_obs": self.pt_obs,
+            "covis": self.covis,
+            "pt_obs": {
+                int(pid): self.obs.items(int(pid))
+                for pid in np.nonzero(self.pt_valid[: self.n_pt])[0]
+            },
             "kf_children": {k: set(v) for k, v in self.kf_children.items()},
             "kf_loop_edges": {k: set(v) for k, v in self.kf_loop_edges.items()},
         }
@@ -599,7 +602,10 @@ class MapStore:
         m.big_change_idx = meta["big_change_idx"]
         m.origin_kf = meta["origin_kf"]
         m.covis = meta["covis"]
-        m.pt_obs = meta["pt_obs"]
+        for pid, items in meta["pt_obs"].items():
+            for kf, feat in items:
+                w = 2 if m.kf_ur[kf, feat] >= 0 else 1
+                m.obs.add(int(pid), int(kf), int(feat), w)
         m.kf_children = meta["kf_children"]
         m.kf_loop_edges = meta["kf_loop_edges"]
         return m
@@ -617,6 +623,6 @@ class MapStore:
                 x, y, z = self.pt_pos[pid]
                 ts = " ".join(
                     f"{self.kf_timestamp[kf]:.6f}"
-                    for kf in sorted(self.pt_obs.get(pid, {}))
+                    for kf in sorted(k for k, _ in self.obs.items(int(pid)))
                 )
                 f.write(f"{x} {y} {z} {ts}\n")

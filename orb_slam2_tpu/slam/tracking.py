@@ -133,6 +133,7 @@ class Tracker:
     def _track_fast(self, img_l, img_r, timestamp) -> Optional[np.ndarray]:
         store = self.store
         last = self.last_frame
+        store.lock.acquire()
         self._replace_updated_points(last)
         self._update_last_frame()
         T_pred = (self.velocity @ last.Tcw).astype(np.float32)
@@ -173,6 +174,7 @@ class Tracker:
         last_f32 = np.concatenate(
             [last_pts, has[:, None].astype(np.float32)], 1)
 
+        store.lock.release()
         step = self._get_fast_step()
         img_l_d = self.builder._upload(img_l)
         img_r_d = (self.builder._upload(img_r)
@@ -222,6 +224,16 @@ class Tracker:
         frame.bindings = bindings
         frame.outlier = (bindings >= 0) & ~res.inlier
 
+        store.lock.acquire()
+        try:
+            return self._apply_fast_result(frame, last, res, cand,
+                                           last_pids, bindings)
+        finally:
+            store.lock.release()
+
+    def _apply_fast_result(self, frame, last, res, cand, last_pids,
+                           bindings):
+        store = self.store
         ok = res.n_matches_mm >= 20
         if ok:
             # visibility / found statistics (ref: SearchLocalPoints +
@@ -247,7 +259,7 @@ class Tracker:
             self.velocity = frame.Tcw @ np.linalg.inv(last.Tcw)
             for i in np.nonzero(frame.bindings >= 0)[0]:
                 pid = int(frame.bindings[i])
-                if store.pt_valid[pid] and not store.pt_obs.get(pid):
+                if store.pt_valid[pid] and store.obs.count(pid) == 0:
                     frame.bindings[i] = -1
             if self._need_new_keyframe():
                 with self.timers("create_keyframe"):
@@ -404,7 +416,7 @@ class Tracker:
             # (ref :430-438)
             for i in np.nonzero(frame.bindings >= 0)[0]:
                 pid = int(frame.bindings[i])
-                if store.pt_valid[pid] and not store.pt_obs.get(pid):
+                if store.pt_valid[pid] and store.obs.count(pid) == 0:
                     frame.outlier[i] = False
                     frame.bindings[i] = -1
             # delete temporal VO points (ref :441-448)
@@ -812,22 +824,13 @@ class Tracker:
         (src/Tracking.cc:1232-1330, :1206-1230)."""
         frame = self.current
         store = self.store
-        votes = {}
-        for i in np.nonzero(frame.bindings >= 0)[0]:
-            pid = int(frame.bindings[i])
-            if not store.pt_valid[pid]:
-                frame.bindings[i] = -1
-                continue
-            for kf in store.pt_obs.get(pid, {}):
-                votes[kf] = votes.get(kf, 0) + 1
-        if not votes:
+        bound = frame.bindings[frame.bindings >= 0]
+        bound = bound[store.pt_valid[bound]]
+        kfs, _counts = store.obs.observers_of(bound)
+        local = [int(k) for k in kfs if store.kf_valid[k]]
+        if not local:
             return
-        local = []
-        seen = set()
-        for kf in sorted(votes, key=votes.get, reverse=True):
-            if store.kf_valid[kf] and kf not in seen:
-                local.append(kf)
-                seen.add(kf)
+        seen = set(local)
         best_kf = local[0]
         # neighbors: covisible, children, parent (cap 80, ref :1286)
         for kf in list(local):

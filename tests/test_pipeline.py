@@ -173,7 +173,7 @@ class TestMapStore:
         # cleared rather than rebound (ref: MapPoint::Replace
         # src/MapPoint.cc:177-240 IsInKeyFrame branch)
         assert m.kf_obs[k0, 5] == -1
-        assert m.pt_obs[a][k0] == 0
+        assert m.obs.find(a, k0) == 0
 
     def test_covisibility_and_spanning_tree(self):
         m, ff = self._store()
