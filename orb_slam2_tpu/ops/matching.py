@@ -655,3 +655,53 @@ def to_host(m: Matches):
     arr = np.asarray(packed)
     q = arr.shape[0] // 3
     return arr[:q], arr[q:2 * q], arr[2 * q:] > 0
+
+
+# ---------------------------------------------------------------------------
+# Batched-over-keyframes variants: local mapping issues one device call
+# for ALL covisible neighbors instead of one per neighbor (each separate
+# dispatch costs a host<->device round trip).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def fuse_points_batch(
+    pts_w, pt_mask, pt_desc, pt_normal, pt_min_dist, pt_max_dist,
+    Tcw_b,                      # (B, 4, 4) target keyframe poses
+    feat_xy_b, feat_ur_b, feat_octave_b, feat_desc_b, feat_valid_b,
+    kf_mask_b,                  # (B,) bool valid targets
+    fx, fy, cx, cy, bf,
+    bounds, scale_factors, level_sigma2,
+    log_scale_factor, n_levels,
+    th=3.0,
+):
+    """vmap of fuse_points over B target keyframes; one dispatch."""
+
+    def one(Tcw, feat_xy, feat_ur, feat_octave, feat_desc, feat_valid,
+            kf_ok):
+        fm = fuse_points.__wrapped__(
+            pts_w, pt_mask & kf_ok, pt_desc, pt_normal,
+            pt_min_dist, pt_max_dist,
+            Tcw, feat_xy, feat_ur, feat_octave, feat_desc, feat_valid,
+            fx, fy, cx, cy, bf, bounds, scale_factors, level_sigma2,
+            log_scale_factor, n_levels, th,
+        )
+        return fm.idx, fm.dist, fm.ok & kf_ok
+
+    idx, dist, ok = jax.vmap(one)(
+        Tcw_b, feat_xy_b, feat_ur_b, feat_octave_b, feat_desc_b,
+        feat_valid_b, kf_mask_b,
+    )
+    packed = jnp.concatenate(
+        [idx.astype(jnp.float32).reshape(-1),
+         ok.astype(jnp.float32).reshape(-1)]
+    )
+    return packed
+
+
+def unpack_fuse_batch(packed, B, M):
+    import numpy as np
+
+    buf = np.asarray(packed)
+    idx = buf[: B * M].reshape(B, M).astype(np.int32)
+    ok = buf[B * M:].reshape(B, M) > 0.5
+    return idx, ok

@@ -43,7 +43,7 @@ class LocalMapper:
         self.bounds = np.array([0.0, w, 0.0, h], np.float32)
         self._bounds_dev = jnp.asarray(self.bounds)
         self.current_kf = -1
-        self._buckets = StickyBuckets(fuse=512, K=16, P=1024, E=4096)
+        self._buckets = StickyBuckets(fuse=512, K=16, P=1024, E=4096, nb=8)
         # per-processed-keyframe callbacks (Monopub stream contract)
         self.on_keyframe: List = []
 
@@ -151,14 +151,14 @@ class LocalMapper:
             return
         T1 = store.kf_pose[kf]
         O1 = store.camera_center(kf)
-        K = np.array(self.s.K, np.float32)
-        Kd = jnp.asarray(K)
         free1 = store.kf_feat_valid[kf] & (store.kf_obs[kf] < 0)
         baseline_own = self.s.baseline
 
+        # baseline gates on host (ref :244-261), then ONE batched device
+        # call across all surviving neighbors (per-neighbor dispatches
+        # each cost a host<->device round trip)
+        use = []
         for kf2 in neighbors:
-            if self.queue:        # new KF arrived: yield (ref :213-215)
-                return
             O2 = store.camera_center(kf2)
             baseline = float(np.linalg.norm(O2 - O1))
             if self.sensor != Sensor.MONOCULAR:
@@ -168,54 +168,52 @@ class LocalMapper:
                 med = store.scene_median_depth(kf2, 2)
                 if med <= 0 or baseline / med < 0.01:   # ref :252-261
                     continue
-            T2 = store.kf_pose[kf2]
-            F12 = tri.fundamental_from_poses(
-                jnp.asarray(T1), jnp.asarray(T2), Kd, Kd
-            )
-            # epipole of O1 in image 2
-            pc = T2[:3, :3] @ O1 + T2[:3, 3]
-            ex = self.s.fx * pc[0] / max(pc[2], 1e-9) + self.s.cx
-            ey = self.s.fy * pc[1] / max(pc[2], 1e-9) + self.s.cy
+            use.append(kf2)
+        if not use:
+            return
+        B = self._buckets("nb", len(use))
 
-            free2 = store.kf_feat_valid[kf2] & (store.kf_obs[kf2] < 0)
-            m = matching.search_for_triangulation(
-                store.kf_device(kf, "xy"), store.kf_device(kf, "ur"),
-                store.kf_device(kf, "octave"), store.kf_device(kf, "desc"),
-                store.kf_device(kf, "node"), store.kf_device(kf, "angle"),
-                jnp.asarray(free1),
-                store.kf_device(kf2, "xy"), store.kf_device(kf2, "ur"),
-                store.kf_device(kf2, "octave"), store.kf_device(kf2, "desc"),
-                store.kf_device(kf2, "node"), store.kf_device(kf2, "angle"),
-                jnp.asarray(free2),
-                F12, jnp.asarray(np.array([ex, ey], np.float32)),
-                self._sf_dev, self._ls2_dev,
-            )
-            idx, _, ok = matching.to_host(m)
-            if not ok.any():
-                continue
-            res = tri.triangulate_and_gate(
-                jnp.asarray(T1), jnp.asarray(T2),
-                store.kf_device(kf, "xy"),
-                store.kf_device(kf2, "xy")[m.idx],
-                store.kf_device(kf, "ur"),
-                store.kf_device(kf2, "ur")[m.idx],
-                store.kf_device(kf, "depth"),
-                store.kf_device(kf2, "depth")[m.idx],
-                store.kf_device(kf, "octave"),
-                store.kf_device(kf2, "octave")[m.idx],
-                m.ok,
-                jnp.float32(self.s.fx), jnp.float32(self.s.fy),
-                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
-                jnp.float32(self.s.bf),
-                self._sf_dev, self._ls2_dev,
-            )
-            good = np.asarray(res.good)
-            pts = np.asarray(res.pts_w)
+        def stack(key):
+            hs = [store.kf_device(k2, key) for k2 in use]
+            hs += [hs[-1]] * (B - len(use))
+            return jnp.stack(hs)
+
+        T2_b = np.stack([store.kf_pose[k2] for k2 in use]
+                        + [np.eye(4, dtype=np.float32)] * (B - len(use)))
+        free2 = np.stack(
+            [store.kf_feat_valid[k2] & (store.kf_obs[k2] < 0)
+             for k2 in use]
+            + [np.zeros(store.n_feat, bool)] * (B - len(use)))
+        nb_mask = np.zeros(B, bool)
+        nb_mask[: len(use)] = True
+
+        packed = tri.triangulate_batch(
+            jnp.asarray(T1),
+            store.kf_device(kf, "xy"), store.kf_device(kf, "ur"),
+            store.kf_device(kf, "depth"), store.kf_device(kf, "octave"),
+            store.kf_device(kf, "desc"), store.kf_device(kf, "node"),
+            store.kf_device(kf, "angle"), jnp.asarray(free1),
+            jnp.asarray(T2_b),
+            stack("xy"), stack("ur"), stack("depth"), stack("octave"),
+            stack("desc"), stack("node"), stack("angle"),
+            jnp.asarray(free2), jnp.asarray(nb_mask),
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            jnp.float32(self.s.bf),
+            self._sf_dev, self._ls2_dev,
+        )
+        idx_b, good_b, pts_b = tri.unpack_triangulate_batch(
+            packed, B, store.n_feat)
+
+        for bi, kf2 in enumerate(use):
+            good = good_b[bi]
+            idx = idx_b[bi]
+            pts = pts_b[bi]
             for i in np.nonzero(good)[0]:
                 i = int(i)
                 j = int(idx[i])
                 if store.kf_obs[kf, i] >= 0 or store.kf_obs[kf2, j] >= 0:
-                    continue   # claimed meanwhile
+                    continue   # claimed by an earlier neighbor this batch
                 pid = store.add_point(pts[i], kf, store.kf_desc[kf, i])
                 store.add_observation(pid, kf, i)
                 store.add_observation(pid, kf2, j)
@@ -223,7 +221,6 @@ class LocalMapper:
                 store.update_normal_and_depth(pid)
                 store.update_scale_band(pid, self.scale_factors)
                 self.recent_points.append(pid)
-                free1[i] = False
 
     # ------------------------------------------------------------------
     def _fuse_into_kf(self, target_kf: int, pids: np.ndarray) -> int:
@@ -280,6 +277,62 @@ class LocalMapper:
             n_fused += 1
         return n_fused
 
+    def _fuse_into_kfs_batch(self, targets, pids: np.ndarray):
+        """Forward fusion of the current keyframe's points into ALL
+        neighbor keyframes with one batched device call."""
+        store = self.store
+        pids = pids[store.pt_valid[pids]]
+        if len(pids) == 0 or not targets:
+            return
+        M = self._buckets("fuse", len(pids))
+        B = self._buckets("nb", len(targets))
+        mask = pad_rows(np.ones(len(pids), bool), M, False)
+
+        def stack(key):
+            hs = [store.kf_device(t, key) for t in targets]
+            hs += [hs[-1]] * (B - len(targets))
+            return jnp.stack(hs)
+
+        Tcw_b = np.stack([store.kf_pose[t] for t in targets]
+                         + [np.eye(4, dtype=np.float32)]
+                         * (B - len(targets)))
+        kf_mask = np.zeros(B, bool)
+        kf_mask[: len(targets)] = True
+
+        packed = matching.fuse_points_batch(
+            jnp.asarray(pad_rows(store.pt_pos[pids], M)),
+            jnp.asarray(mask),
+            jnp.asarray(pad_rows(store.pt_desc[pids], M)),
+            jnp.asarray(pad_rows(store.pt_normal[pids], M)),
+            jnp.asarray(pad_rows(store.pt_min_dist[pids], M)),
+            jnp.asarray(pad_rows(store.pt_max_dist[pids], M)),
+            jnp.asarray(Tcw_b),
+            stack("xy"), stack("ur"), stack("octave"), stack("desc"),
+            stack("valid"), jnp.asarray(kf_mask),
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            jnp.float32(self.s.bf),
+            self._bounds_dev, self._sf_dev, self._ls2_dev,
+            self.log_scale, self.s.n_levels,
+        )
+        idx_b, ok_b = matching.unpack_fuse_batch(packed, B, M)
+        for bi, t in enumerate(targets):
+            for row in np.nonzero(ok_b[bi][: len(pids)])[0]:
+                pid = int(pids[row])
+                feat = int(idx_b[bi, row])
+                if not store.pt_valid[pid]:
+                    continue
+                if store.obs.find(pid, t) >= 0:
+                    continue       # already observed by this keyframe
+                existing = int(store.kf_obs[t, feat])
+                if existing >= 0 and store.pt_valid[existing]:
+                    if store.pt_n_obs[existing] > store.pt_n_obs[pid]:
+                        store.replace_point(pid, existing)
+                    else:
+                        store.replace_point(existing, pid)
+                else:
+                    store.add_observation(pid, t, feat)
+
     def _search_in_neighbors(self, kf: int):
         """ref: LocalMapping::SearchInNeighbors (src/LocalMapping.cc:454):
         two-way fusion with 1st- and 2nd-order covisible neighbors."""
@@ -298,10 +351,9 @@ class LocalMapper:
 
         own = store.kf_obs[kf]
         own_pids = own[own >= 0]
-        for t in targets:
-            self._fuse_into_kf(t, own_pids)
-        # reverse: fuse all targets' points into the current keyframe
         if targets:
+            self._fuse_into_kfs_batch(targets, own_pids)
+            # reverse: fuse all targets' points into the current keyframe
             fuse_cands = store.points_in_kfs(targets)
             self._fuse_into_kf(kf, fuse_cands)
 

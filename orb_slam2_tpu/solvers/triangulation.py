@@ -179,3 +179,64 @@ def fundamental_from_poses(T1w, T2w, K1, K2):
          [t12[2], 0.0, -t12[0]],
          [-t12[1], t12[0], 0.0]], T1w.dtype)
     return jnp.linalg.inv(K1).T @ tx @ R12 @ jnp.linalg.inv(K2)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def triangulate_batch(
+    T1w,                       # (4,4) current keyframe pose
+    xy1, ur1, depth1, octave1, desc1, node1, angle1, free1,   # (N,...)
+    T2w_b,                     # (B,4,4) neighbor poses
+    xy2_b, ur2_b, depth2_b, octave2_b, desc2_b, node2_b, angle2_b,
+    free2_b,                   # (B,N,...)
+    nb_mask,                   # (B,) bool valid neighbors
+    fx, fy, cx, cy, bf,
+    scale_factors, level_sigma2,
+):
+    """One dispatch for CreateNewMapPoints over ALL covisible neighbors:
+    per neighbor, compute F12 + epipole on device, run the epipolar
+    search, triangulate and gate.  Returns a packed f32 buffer
+    [idx (B*N), ok (B*N), pts (B*N*3)]."""
+    from orb_slam2_tpu.ops import matching
+
+    K = jnp.array([[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]],
+                  xy1.dtype)
+    R1, t1 = T1w[:3, :3], T1w[:3, 3]
+    O1 = -R1.T @ t1
+
+    def one(T2w, xy2, ur2, depth2, octave2, desc2, node2, angle2, free2,
+            ok_nb):
+        F12 = fundamental_from_poses(T1w, T2w, K, K)
+        pc = T2w[:3, :3] @ O1 + T2w[:3, 3]
+        z = jnp.maximum(pc[2], 1e-9)
+        epipole = jnp.stack([fx * pc[0] / z + cx, fy * pc[1] / z + cy])
+        m = matching.search_for_triangulation.__wrapped__(
+            xy1, ur1, octave1, desc1, node1, angle1, free1 & ok_nb,
+            xy2, ur2, octave2, desc2, node2, angle2, free2,
+            F12, epipole, scale_factors, level_sigma2,
+        )
+        res = triangulate_and_gate.__wrapped__(
+            T1w, T2w, xy1, xy2[m.idx], ur1, ur2[m.idx],
+            depth1, depth2[m.idx], octave1, octave2[m.idx],
+            m.ok, fx, fy, cx, cy, bf, scale_factors, level_sigma2,
+        )
+        return m.idx, res.good & ok_nb, res.pts_w
+
+    idx, good, pts = jax.vmap(one)(
+        T2w_b, xy2_b, ur2_b, depth2_b, octave2_b, desc2_b, node2_b,
+        angle2_b, free2_b, nb_mask,
+    )
+    return jnp.concatenate([
+        idx.astype(jnp.float32).reshape(-1),
+        good.astype(jnp.float32).reshape(-1),
+        pts.reshape(-1),
+    ])
+
+
+def unpack_triangulate_batch(packed, B, N):
+    import numpy as np
+
+    buf = np.asarray(packed)
+    idx = buf[: B * N].reshape(B, N).astype(np.int32)
+    good = buf[B * N: 2 * B * N].reshape(B, N) > 0.5
+    pts = buf[2 * B * N:].reshape(B, N, 3)
+    return idx, good, pts
