@@ -325,3 +325,242 @@ def unpack_track_out(out: TrackOut, n: int, m: int) -> TrackResult:
         response.astype(np.float32), assign, inlier, vis_local,
         n_mm, n_in,
     ), desc
+
+
+# ---------------------------------------------------------------------------
+# Chained (pipelined) variant: the step consumes the PREVIOUS step's
+# device-resident outputs instead of host-built blocks, so frame t+1 can
+# be dispatched before frame t's results are pulled.  Over a remote-TPU
+# tunnel every sync costs a full round trip; chaining overlaps the pull
+# of frame t with the compute of frame t+1 (true frame pipelining).
+# ---------------------------------------------------------------------------
+
+class ChainState(NamedTuple):
+    """Device-resident per-frame state threaded between steps."""
+
+    xy: jnp.ndarray          # (N, 2)
+    ur: jnp.ndarray          # (N,)
+    octave: jnp.ndarray      # (N,)
+    angle: jnp.ndarray       # (N,)
+    desc: jnp.ndarray        # (N, 8) u32
+    pts: jnp.ndarray         # (N, 3) bound point world positions
+    has: jnp.ndarray         # (N,) bool bound & inlier
+    T_cur: jnp.ndarray       # (4, 4)
+    T_prev: jnp.ndarray      # (4, 4)
+
+
+def build_track_step_chained(settings, sensor_stereo: bool):
+    """Like build_track_step but motion-model inputs come from a
+    ChainState and the constant-velocity prediction happens on device."""
+    s = settings
+    fx, fy = np.float32(s.fx), np.float32(s.fy)
+    cx, cy = np.float32(s.cx), np.float32(s.cy)
+    bf = np.float32(s.bf)
+    sf = s.scale_factors().astype(np.float32)
+    ls2 = s.level_sigma2().astype(np.float32)
+    bounds = np.array([0.0, s.width, 0.0, s.height], np.float32)
+    log_sf = float(np.log(s.scale_factor))
+    n_levels = s.n_levels
+    th_mm = 7.0 if sensor_stereo else 15.0
+    baseline = np.float32(s.baseline)
+
+    @jax.jit
+    def step(img_l, img_r, chain: ChainState, loc_f32, loc_desc, scal):
+        sf_c = jnp.asarray(sf)
+        ls2_c = jnp.asarray(ls2)
+        bounds_c = jnp.asarray(bounds)
+
+        th_local = scal[0]
+        n_cand = scal[1].astype(jnp.int32)
+        loc_pts = loc_f32[:, :3]
+        loc_normal = loc_f32[:, 3:6]
+        loc_min = loc_f32[:, 6]
+        loc_max = loc_f32[:, 7]
+        loc_mask = jnp.arange(loc_f32.shape[0]) < n_cand
+
+        # constant-velocity prediction on device (ref: mVelocity)
+        import orb_slam2_tpu.geometry.se3 as se3_geo
+
+        velocity = chain.T_cur @ se3_geo.inverse(chain.T_prev)
+        T_pred = velocity @ chain.T_cur
+        # forward/backward gates from the predicted relative motion
+        tlc = chain.T_cur @ se3_geo.inverse(T_pred)
+        fwd = jnp.logical_and(sensor_stereo, tlc[2, 3] > baseline)
+        bwd = jnp.logical_and(sensor_stereo, -tlc[2, 3] > baseline)
+
+        last_pts = chain.pts
+        last_has = chain.has
+
+        # ---- frontend -----------------------------------------------------
+        if sensor_stereo:
+            feats, sm = frontend.extract_stereo_pair(
+                img_l, img_r, sf, bf, np.float32(s.fx),
+                n_features=s.n_features, n_levels=n_levels,
+                scale_factor=s.scale_factor, ini_th=s.ini_th_fast,
+                min_th=s.min_th_fast,
+            )
+            ur, depth = sm.u_right, sm.depth
+        else:
+            feats = frontend.extract(
+                img_l, n_features=s.n_features, n_levels=n_levels,
+                scale_factor=s.scale_factor, ini_th=s.ini_th_fast,
+                min_th=s.min_th_fast,
+            )
+            ur = -jnp.ones(feats.xy.shape[0], jnp.float32)
+            depth = -jnp.ones(feats.xy.shape[0], jnp.float32)
+
+        N = feats.xy.shape[0]
+        L = last_pts.shape[0]
+        M = loc_pts.shape[0]
+        f_xy, f_oct, f_desc = feats.xy, feats.octave, feats.desc
+        f_ang, f_val = feats.angle, feats.valid
+
+        # ---- motion-model matching ---------------------------------------
+        R, t = T_pred[:3, :3], T_pred[:3, 3]
+        pc = last_pts @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = fx * pc[:, 0] / z + cx
+        v = fy * pc[:, 1] / z + cy
+        urp = u - bf / z
+        vis = (
+            last_has & (pc[:, 2] > 0)
+            & (u >= bounds_c[0]) & (u < bounds_c[1])
+            & (v >= bounds_c[2]) & (v < bounds_c[3])
+        )
+        oct_ok = _octave_compat(chain.octave, f_oct, fwd, bwd)
+        has_r = ur[None, :] >= 0
+        dmat = hamming.distance_matrix(chain.desc, f_desc)
+
+        def mm_match(th):
+            radius = th * jnp.asarray(sf)[chain.octave]
+            du = jnp.abs(u[:, None] - f_xy[None, :, 0])
+            dv = jnp.abs(v[:, None] - f_xy[None, :, 1])
+            window = (du < radius[:, None]) & (dv < radius[:, None])
+            r_ok = ~has_r | (jnp.abs(urp[:, None] - ur[None, :])
+                             < radius[:, None])
+            compat = window & oct_ok & r_ok & vis[:, None] & f_val[None, :]
+            d = jnp.where(compat, dmat, hamming.MAX_DIST)
+            idx = jnp.argmin(d, 1).astype(jnp.int32)
+            best = jnp.min(d, 1)
+            ok = vis & (best <= hamming.TH_HIGH)
+            ok = hamming.rotation_histogram_filter(
+                chain.angle, f_ang[idx], ok)
+            big = jnp.int32(2147483647)
+            key = best.astype(jnp.int32) * L \
+                + jnp.arange(L, dtype=jnp.int32)
+            key = jnp.where(ok, key, big)
+            bk = jnp.full((N,), big, jnp.int32).at[idx].min(key)
+            ok = ok & (bk[idx] == key)
+            return idx, best, ok
+
+        idx1, _, ok1 = mm_match(th_mm)
+        n1 = jnp.sum(ok1)
+        idx2, _, ok2 = mm_match(2.0 * th_mm)
+        use2 = n1 < 20
+        mm_idx = jnp.where(use2, idx2, idx1)
+        mm_ok = jnp.where(use2, ok2, ok1)
+        n_mm = jnp.sum(mm_ok)
+
+        assign = jnp.full((N,), -1, jnp.int32)
+        assign = assign.at[jnp.where(mm_ok, mm_idx, N)].set(
+            jnp.arange(L, dtype=jnp.int32), mode="drop")
+
+        def pose_obs(assign_slots, src_pts):
+            bound = assign_slots >= 0
+            slots = jnp.maximum(assign_slots, 0)
+            pts = src_pts[slots]
+            uv = jnp.stack([f_xy[:, 0], f_xy[:, 1], ur], -1)
+            inv_s2 = 1.0 / ls2_c[f_oct]
+            return pose_lm.PoseObs(pts, uv, inv_s2, bound & f_val)
+
+        obs1 = pose_obs(assign, last_pts)
+        T1, inl1, _ = pose_lm.optimize_pose.__wrapped__(
+            T_pred, obs1, fx, fy, cx, cy, bf, 4, 10)
+        assign = jnp.where(inl1 | (assign < 0), assign, -1)
+
+        # ---- local-map candidates ------------------------------------------
+        Rl, tl = T1[:3, :3], T1[:3, 3]
+        pcl = loc_pts @ Rl.T + tl
+        zl = jnp.maximum(pcl[:, 2], 1e-6)
+        ul = fx * pcl[:, 0] / zl + cx
+        vl = fy * pcl[:, 1] / zl + cy
+        url = ul - bf / zl
+        Ow = -Rl.T @ tl
+        po = loc_pts - Ow
+        dist = jnp.linalg.norm(po, axis=1)
+        dist_s = jnp.maximum(dist, 1e-9)
+        view_cos = jnp.sum(po * loc_normal, 1) / dist_s
+        ratio = jnp.maximum(loc_max, 1e-9) / dist_s
+        level = jnp.clip(
+            jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_sf),
+            0, n_levels - 1).astype(jnp.int32)
+        vis_l = (
+            loc_mask & (pcl[:, 2] > 0)
+            & (ul >= bounds_c[0]) & (ul < bounds_c[1])
+            & (vl >= bounds_c[2]) & (vl < bounds_c[3])
+            & (dist >= 0.8 * loc_min) & (dist <= 1.2 * loc_max)
+            & (view_cos > 0.5)
+        )
+        r0 = jnp.where(view_cos > 0.998, 2.5, 4.0)
+        radius = r0 * th_local * jnp.asarray(sf)[level]
+        du = jnp.abs(ul[:, None] - f_xy[None, :, 0])
+        dv = jnp.abs(vl[:, None] - f_xy[None, :, 1])
+        window = (du < radius[:, None]) & (dv < radius[:, None])
+        oct_ok_l = (
+            (f_oct[None, :] >= level[:, None] - 1)
+            & (f_oct[None, :] <= level[:, None])
+        )
+        has_r2 = ur[None, :] >= 0
+        r_ok2 = ~has_r2 | (jnp.abs(url[:, None] - ur[None, :])
+                           < radius[:, None])
+        free = f_val & (assign < 0)
+        compat = window & oct_ok_l & r_ok2 & vis_l[:, None] & free[None, :]
+        dmat_l = hamming.distance_matrix(loc_desc, f_desc)
+        d = jnp.where(compat, dmat_l, hamming.MAX_DIST)
+        lidx = jnp.argmin(d, 1).astype(jnp.int32)
+        lbest = jnp.min(d, 1)
+        d2 = d.at[jnp.arange(M), lidx].set(hamming.MAX_DIST)
+        lsecond = jnp.min(d2, 1)
+        same_lvl = f_oct[lidx] == f_oct[jnp.argmin(d2, 1)]
+        ratio_ok = ~same_lvl | (
+            lbest.astype(jnp.float32) <= 0.8 * lsecond.astype(jnp.float32))
+        lok = vis_l & (lbest <= hamming.TH_HIGH) & ratio_ok
+        big = jnp.int32(2147483647)
+        key = lbest.astype(jnp.int32) * M + jnp.arange(M, dtype=jnp.int32)
+        key = jnp.where(lok, key, big)
+        bk = jnp.full((N,), big, jnp.int32).at[lidx].min(key)
+        lok = lok & (bk[lidx] == key)
+        assign = assign.at[jnp.where(lok, lidx, N)].set(
+            L + jnp.arange(M, dtype=jnp.int32), mode="drop")
+
+        all_pts = jnp.concatenate([last_pts, loc_pts], 0)
+        obs2 = pose_obs(assign, all_pts)
+        T2, inl2, n_in = pose_lm.optimize_pose.__wrapped__(
+            T1, obs2, fx, fy, cx, cy, bf, 4, 10)
+
+        inlier = inl2 & (assign >= 0)
+        f32_pack = jnp.concatenate([
+            T2.reshape(-1),                              # 16
+            jnp.stack([n_mm.astype(jnp.float32),
+                       n_in.astype(jnp.float32)]),       # 2
+            f_xy.reshape(-1),                            # 2N
+            f_ang,                                       # N
+            f_oct.astype(jnp.float32),                   # N
+            f_val.astype(jnp.float32),                   # N
+            ur, depth,                                   # 2N
+            feats.response,                              # N
+            assign.astype(jnp.float32),                  # N
+            inlier.astype(jnp.float32),                  # N
+            vis_l.astype(jnp.float32),                   # M
+            jax.lax.bitcast_convert_type(
+                f_desc, jnp.float32).reshape(-1),        # 8N
+        ])
+        new_chain = ChainState(
+            xy=f_xy, ur=ur, octave=f_oct, angle=f_ang, desc=f_desc,
+            pts=all_pts[jnp.maximum(assign, 0)],
+            has=inlier,
+            T_cur=T2, T_prev=chain.T_cur,
+        )
+        return TrackOut(f32_pack, f_desc), new_chain
+
+    return step

@@ -107,6 +107,17 @@ class Tracker:
         self._seen_replace_epoch = 0
         self._frames_since_map_refresh = 0
 
+        # frame pipelining: dispatch frame t+1 before pulling frame t
+        # (results delayed by one frame).  EXPERIMENTAL: chained device
+        # state rides the pre-BA map frame between refreshes, which
+        # accumulates drift under keyframe-heavy motion; round-2 plan is
+        # a device-resident map mirror so BA updates reach the chain.
+        # Default OFF; the one-dispatch fast path is the stable default.
+        self.pipelined = bool(getattr(settings, "pipelined", False))
+        self._chain_step = None
+        self._chain = None            # device ChainState
+        self._pending = None          # (TrackOut, meta dict)
+
     # ------------------------------------------------------------------
     # fused fast path: ONE compiled step + ONE sync per steady frame
     # ------------------------------------------------------------------
@@ -291,6 +302,194 @@ class Tracker:
         self.last_frame = frame
         return frame.Tcw if self.state == State.OK else None
 
+    # ------------------------------------------------------------------
+    # frame pipelining: dispatch t+1 before pulling t (one-frame latency,
+    # ~2x throughput over a high-RTT device link)
+    # ------------------------------------------------------------------
+    def _local_block(self, exclude_pids=None):
+        """Local-candidate block from the latest processed host state.
+
+        `exclude_pids` must be exactly the points the motion-model
+        (chain) block carries — excluding anything more makes those
+        points invisible to tracking (e.g. keyframe-born points bound
+        on the host AFTER the chain was formed on device)."""
+        store = self.store
+        if exclude_pids is None:
+            last = self.last_frame
+            bind = last.bindings
+            pids = np.where(bind >= 0, bind, 0)
+            exclude_pids = pids[(bind >= 0) & store.pt_valid[pids]]
+        lp = self.local_pts
+        keep = store.pt_valid[lp] & ~np.isin(lp, exclude_pids)
+        cand = lp[keep]
+        M = self._buckets("local", max(len(cand), 1))
+        loc_f32 = np.zeros((M, 8), np.float32)
+        nc = len(cand)
+        loc_f32[:nc, :3] = store.pt_pos[cand]
+        loc_f32[:nc, 3:6] = store.pt_normal[cand]
+        loc_f32[:nc, 6] = store.pt_min_dist[cand]
+        loc_f32[:nc, 7] = store.pt_max_dist[cand]
+        loc_desc = pad_rows(store.pt_desc[cand], M)
+        return cand, loc_f32, loc_desc, M, nc
+
+    def _get_chain_step(self):
+        if self._chain_step is None:
+            self._chain_step = ts.build_track_step_chained(
+                self.s, self.sensor == Sensor.STEREO)
+        return self._chain_step
+
+    def _bootstrap_chain(self):
+        """Build the device ChainState from the last processed frame."""
+        store = self.store
+        # refresh the last frame's pose from its (possibly BA-moved)
+        # reference keyframe and redirect fused/replaced point bindings,
+        # like the fast path does every frame (ref: CheckReplacedInLastFrame
+        # + UpdateLastFrame)
+        self._replace_updated_points(self.last_frame)
+        self._update_last_frame()
+        last = self.last_frame
+        bind = last.bindings
+        pids = np.where(bind >= 0, bind, 0)
+        has = (bind >= 0) & store.pt_valid[pids] & ~last.outlier
+        T_cur = last.Tcw.astype(np.float32)
+        T_prev = (np.linalg.inv(self.velocity) @ T_cur).astype(np.float32)
+        return ts.ChainState(
+            xy=last.feats.device("xy"), ur=last.feats.device("ur"),
+            octave=last.feats.device("octave"),
+            angle=last.feats.device("angle"),
+            desc=last.feats.device("desc"),
+            pts=jnp.asarray(store.pt_pos[pids].astype(np.float32)),
+            has=jnp.asarray(has),
+            T_cur=jnp.asarray(T_cur), T_prev=jnp.asarray(T_prev),
+        )
+
+    def _track_pipelined(self, img_l, img_r, timestamp):
+        store = self.store
+
+        # The chained step carries point POSITIONS from dispatch time, so
+        # local-BA updates never reach carried bindings and matching
+        # degrades until tracking diverges.  Every few frames (and after
+        # keyframe insertion, when BA ran) pay one serialized frame:
+        # process the pending result first and rebuild the chain from the
+        # fresh host map.
+        self._chain_age = getattr(self, "_chain_age", 0) + 1
+        refresh = (self._chain is None or self._chain_age >= 4
+                   or getattr(self, "_chain_dirty", False))
+        pose_pre = None
+        if refresh:
+            if self._pending is not None:
+                pending, self._pending = self._pending, None
+                pose_pre = self._process_pulled(*pending)
+                if self.state != State.OK or self.last_frame is None:
+                    self._chain = None
+                    return pose_pre
+            with store.lock:
+                self._chain = self._bootstrap_chain()
+            self._chain_age = 0
+            self._chain_dirty = False
+
+        with store.lock:
+            # exclude only what the dispatched chain actually carries:
+            # after a refresh that is the full binding set; otherwise the
+            # inlier pids recorded when the chain's frame was processed
+            exclude = None if refresh else getattr(
+                self, "_chain_pids", None)
+            cand, loc_f32, loc_desc, M, nc = self._local_block(exclude)
+        th_local = 3.0 if self.sensor == Sensor.RGBD else 1.0
+        scal = np.array([th_local, nc], np.float32)
+
+        step = self._get_chain_step()
+        img_l_d = self.builder._upload(img_l)
+        img_r_d = (self.builder._upload(img_r)
+                   if img_r is not None else img_l_d)
+        out, new_chain = step(
+            img_l_d, img_r_d, self._chain,
+            jnp.asarray(loc_f32), jnp.asarray(loc_desc),
+            jnp.asarray(scal),
+        )
+        out.f32_pack.copy_to_host_async()
+        meta = dict(timestamp=timestamp, M=M, cand=cand)
+
+        pose = pose_pre
+        if self._pending is not None:
+            pose = self._process_pulled(*self._pending)
+            if self.state != State.OK or self.last_frame is None:
+                # the chain fed to the new dispatch was built on a failed
+                # frame: drop it and fall back next frame
+                self._pending = None
+                self._chain = None
+                return pose
+            if self.last_kf_frame_id == self.last_frame.frame_id:
+                self._chain_dirty = True   # BA ran; refresh next frame
+        self._pending = (out, meta)
+        self._chain = new_chain
+        return pose
+
+    def _process_pulled(self, out, meta):
+        """Pull + apply a previously dispatched pipelined step (this is
+        frame t-1 relative to the latest dispatch)."""
+        store = self.store
+        from orb_slam2_tpu.ops.frontend import padded_total
+
+        n_feat = padded_total(
+            self.s.n_features, self.s.n_levels, self.s.scale_factor)
+        res, desc_np = ts.unpack_track_out(out, n_feat, meta["M"])
+        last = self.last_frame
+        cand = meta["cand"]
+
+        ff = FrameFeatures(
+            xy=res.xy, xy_raw=res.xy, ur=res.ur, depth=res.depth,
+            octave=res.octave, angle=res.angle,
+            desc=desc_np, valid=res.valid,
+            node=np.full(n_feat, -1, np.int32),
+            word=np.full(n_feat, -1, np.int32),
+            dev={"desc": out.desc},
+        )
+        frame = Frame(
+            frame_id=self.builder._next_id, timestamp=meta["timestamp"],
+            feats=ff,
+        )
+        self.builder._next_id += 1
+        self.current = frame
+        frame.Tcw = res.Tcw
+        frame.ref_kf = self.ref_kf
+
+        # slots [0, L) reference the previous frame's features; redirect
+        # bindings whose points were fused away since dispatch
+        # (Replace() chains; invalid pids would silently drop the
+        # strongest, most-fused tracks every keyframe)
+        self._seen_replace_epoch = -1    # force the sweep
+        self._replace_updated_points(last)
+        last_bind = last.bindings
+        last_pids = np.where(last_bind >= 0, last_bind, 0)
+        L = len(last_pids)
+        a = res.assign
+        bindings = np.full(n_feat, -1, np.int64)
+        from_last = (a >= 0) & (a < L)
+        bindings[from_last] = last_pids[a[from_last]]
+        from_local = a >= L
+        loc_slots = a[from_local] - L
+        in_range = loc_slots < len(cand)
+        rows = np.nonzero(from_local)[0][in_range]
+        bindings[rows] = cand[loc_slots[in_range]]
+        # drop bindings whose slot had no valid pid
+        bad_last = from_last & (last_bind[np.clip(a, 0, L - 1)] < 0)
+        bindings[bad_last] = -1
+        frame.bindings = bindings
+        frame.outlier = (bindings >= 0) & ~res.inlier
+        # the pids the NEXT chain carries = this frame's inlier bindings
+        self._chain_pids = bindings[(bindings >= 0) & res.inlier]
+
+        with store.lock:
+            return self._apply_fast_result(
+                frame, last, res, cand, last_pids, bindings)
+
+    def _flush_pipeline(self):
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            self._process_pulled(*pending)
+        self._chain = None
+
     def _assign_frame_bow(self, frame: Frame):
         if (self.builder.vocabulary is not None
                 and not (frame.feats.node >= 0).any()):
@@ -309,8 +508,12 @@ class Tracker:
     # ------------------------------------------------------------------
     def grab_monocular(self, img: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
         if self._can_fast():
+            if self.pipelined:
+                with self.timers("pipelined_step"):
+                    return self._track_pipelined(img, None, timestamp)
             with self.timers("fast_step"):
                 return self._track_fast(img, None, timestamp)
+        self._flush_pipeline()
         boost = self.state in (State.NO_IMAGES_YET, State.NOT_INITIALIZED)
         with self.timers("frame_build"):
             frame = self.builder.monocular(img, timestamp, init_boost=boost)
@@ -318,8 +521,12 @@ class Tracker:
 
     def grab_stereo(self, img_l, img_r, timestamp: float) -> Optional[np.ndarray]:
         if self._can_fast():
+            if self.pipelined:
+                with self.timers("pipelined_step"):
+                    return self._track_pipelined(img_l, img_r, timestamp)
             with self.timers("fast_step"):
                 return self._track_fast(img_l, img_r, timestamp)
+        self._flush_pipeline()
         with self.timers("frame_build"):
             frame = self.builder.stereo_pair(img_l, img_r, timestamp)
         return self._track(frame)
