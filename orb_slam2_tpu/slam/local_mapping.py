@@ -481,6 +481,7 @@ class LocalMapper:
                 store.pt_pos[pid] = pts_np[i]
                 store.update_normal_and_depth(pid)
                 store.update_scale_band(pid, self.scale_factors)
+        store.mark_dirty(pids)
         self.store.lock.release()
 
     def global_bundle_adjustment(self, iters: int = 20,
@@ -521,6 +522,7 @@ class LocalMapper:
         for pid in pids:
             store.update_normal_and_depth(int(pid))
             store.update_scale_band(int(pid), self.scale_factors)
+        store.mark_dirty(pids)
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kf: int):

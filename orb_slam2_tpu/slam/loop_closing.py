@@ -313,6 +313,7 @@ class LoopCloser:
                 pw = store.pt_pos[pid]
                 store.pt_pos[pid] = _sim3_apply_np(
                     Sc_inv, _sim3_apply_np(S_old, pw))
+                store.mark_dirty(pid)
             # corrected pose: SE3 with scale divided out (ref :500-507)
             R, t, s = corrected[ki]
             Tn = np.eye(4, dtype=np.float32)
@@ -489,6 +490,7 @@ class LoopCloser:
             pw = store.pt_pos[pid]
             store.pt_pos[pid] = _sim3_apply_np(
                 _sim3_inverse_np(S_new), _sim3_apply_np(S_old, pw))
+            store.mark_dirty(pid)
         for k, i in index.items():
             Tn = np.eye(4, dtype=np.float32)
             Tn[:3, :3] = R_o[i]

@@ -158,6 +158,18 @@ class MapStore:
         # database's inverted-file removal, ref: KeyFrame::SetBadFlag
         # calling mpKeyFrameDB->erase)
         self.erase_hooks: list = []
+        # dirty-point sinks for device mirrors (slam/device_map.py)
+        self.dirty_sinks: list = []
+
+    def mark_dirty(self, pids):
+        if not self.dirty_sinks:
+            return
+        if np.isscalar(pids) or isinstance(pids, (int, np.integer)):
+            for s in self.dirty_sinks:
+                s.add(int(pids))
+        else:
+            for s in self.dirty_sinks:
+                s.update(int(p) for p in pids)
 
     def kf_device(self, kf: int, key: str):
         """Device array for a keyframe feature field, cached (features are
@@ -292,6 +304,7 @@ class MapStore:
         self.pt_ref_kf[pid] = ref_kf
         self.pt_visible[pid] = 1
         self.pt_found[pid] = 1
+        self.mark_dirty(pid)
         return pid
 
     def resolve_replaced(self, pid: int) -> int:
@@ -343,6 +356,7 @@ class MapStore:
                 self.kf_obs[kf, feat] = -1
         self.obs.clear_point(pid)
         self.pt_n_obs[pid] = 0
+        self.mark_dirty(pid)
 
     def replace_point(self, old: int, new: int):
         """ref: MapPoint::Replace (src/MapPoint.cc:177-240): re-point all
@@ -364,6 +378,8 @@ class MapStore:
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_found[new] += self.pt_found[old]
         self.compute_distinctive_descriptor(new)
+        self.mark_dirty(old)
+        self.mark_dirty(new)
 
     def found_ratio(self, pid: int) -> float:
         return float(self.pt_found[pid]) / max(float(self.pt_visible[pid]), 1.0)
@@ -376,6 +392,7 @@ class MapStore:
             return
         descs = np.stack([self.kf_desc[kf, ft] for kf, ft in obs])
         self.pt_desc[pid] = descs[distinctive_index(descs)]
+        self.mark_dirty(pid)
 
     def update_normal_and_depth(self, pid: int):
         """ref: MapPoint::UpdateNormalAndDepth (src/MapPoint.cc:330-371)."""
@@ -394,6 +411,7 @@ class MapStore:
         normal = np.mean(normals, axis=0)
         nn = np.linalg.norm(normal)
         self.pt_normal[pid] = normal / max(nn, 1e-9)
+        self.mark_dirty(pid)
 
     def update_scale_band(self, pid: int, scale_factors: np.ndarray):
         """Distance band from the reference keyframe's octave
@@ -410,6 +428,7 @@ class MapStore:
         n_levels = len(scale_factors)
         self.pt_max_dist[pid] = dist * scale_factors[level]
         self.pt_min_dist[pid] = self.pt_max_dist[pid] / scale_factors[n_levels - 1]
+        self.mark_dirty(pid)
 
     # ------------------------------------------------------------------
     # covisibility graph + spanning tree

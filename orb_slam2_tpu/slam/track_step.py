@@ -329,10 +329,13 @@ def unpack_track_out(out: TrackOut, n: int, m: int) -> TrackResult:
 
 # ---------------------------------------------------------------------------
 # Chained (pipelined) variant: the step consumes the PREVIOUS step's
-# device-resident outputs instead of host-built blocks, so frame t+1 can
-# be dispatched before frame t's results are pulled.  Over a remote-TPU
-# tunnel every sync costs a full round trip; chaining overlaps the pull
-# of frame t with the compute of frame t+1 (true frame pipelining).
+# device-resident outputs and gathers point data from the DEVICE MAP
+# MIRROR at execution time (slam/device_map.py).  Frame t+1 is dispatched
+# before frame t's results are pulled; because positions come from the
+# mirror (which the host flushes after every map mutation), bundle
+# adjustment reaches in-flight frames and the chain never goes stale.
+# The step outputs per-feature POINT IDS directly, so the host does no
+# slot bookkeeping at all.
 # ---------------------------------------------------------------------------
 
 class ChainState(NamedTuple):
@@ -343,15 +346,17 @@ class ChainState(NamedTuple):
     octave: jnp.ndarray      # (N,)
     angle: jnp.ndarray       # (N,)
     desc: jnp.ndarray        # (N, 8) u32
-    pts: jnp.ndarray         # (N, 3) bound point world positions
-    has: jnp.ndarray         # (N,) bool bound & inlier
+    pid: jnp.ndarray         # (N,) i32 bound map-point id or -1
     T_cur: jnp.ndarray       # (4, 4)
-    T_prev: jnp.ndarray      # (4, 4)
+    velocity: jnp.ndarray    # (4, 4) T_cur @ inv(T_prev); carried directly
+                             # (recomputing it via a double closed-form
+                             # inverse loses ~3 cm to f32 non-orthogonality,
+                             # a full matching window)
 
 
 def build_track_step_chained(settings, sensor_stereo: bool):
-    """Like build_track_step but motion-model inputs come from a
-    ChainState and the constant-velocity prediction happens on device."""
+    """Returns step(img_l, img_r, chain, mir_f32, mir_desc, cand_pids,
+    scal) -> (TrackOut, ChainState)."""
     s = settings
     fx, fy = np.float32(s.fx), np.float32(s.fy)
     cx, cy = np.float32(s.cx), np.float32(s.cy)
@@ -365,31 +370,42 @@ def build_track_step_chained(settings, sensor_stereo: bool):
     baseline = np.float32(s.baseline)
 
     @jax.jit
-    def step(img_l, img_r, chain: ChainState, loc_f32, loc_desc, scal):
+    def step(img_l, img_r, chain: ChainState, mir_f32, mir_desc,
+             cand_pids, scal):
         sf_c = jnp.asarray(sf)
         ls2_c = jnp.asarray(ls2)
         bounds_c = jnp.asarray(bounds)
 
         th_local = scal[0]
-        n_cand = scal[1].astype(jnp.int32)
-        loc_pts = loc_f32[:, :3]
-        loc_normal = loc_f32[:, 3:6]
-        loc_min = loc_f32[:, 6]
-        loc_max = loc_f32[:, 7]
-        loc_mask = jnp.arange(loc_f32.shape[0]) < n_cand
 
-        # constant-velocity prediction on device (ref: mVelocity)
+        # gather chained + candidate point data from the mirror
+        cpid = jnp.maximum(chain.pid, 0)
+        last_rows = mir_f32[cpid]                       # (L, 9)
+        last_pts = last_rows[:, 0:3]
+        last_has = (chain.pid >= 0) & (last_rows[:, 8] > 0.5)
+
+        qpid = jnp.maximum(cand_pids, 0)
+        loc_rows = mir_f32[qpid]                        # (M, 9)
+        loc_pts = loc_rows[:, 0:3]
+        loc_normal = loc_rows[:, 3:6]
+        loc_min = loc_rows[:, 6]
+        loc_max = loc_rows[:, 7]
+        loc_desc = mir_desc[qpid]
+        # a candidate is usable if it exists, is alive, and is not
+        # already carried by the chain (device-side exclusion)
+        carried = jnp.any(
+            (cand_pids[:, None] == chain.pid[None, :])
+            & last_has[None, :], axis=1)
+        loc_mask = (cand_pids >= 0) & (loc_rows[:, 8] > 0.5) & ~carried
+
         import orb_slam2_tpu.geometry.se3 as se3_geo
 
-        velocity = chain.T_cur @ se3_geo.inverse(chain.T_prev)
+        velocity = chain.velocity
         T_pred = velocity @ chain.T_cur
-        # forward/backward gates from the predicted relative motion
-        tlc = chain.T_cur @ se3_geo.inverse(T_pred)
-        fwd = jnp.logical_and(sensor_stereo, tlc[2, 3] > baseline)
-        bwd = jnp.logical_and(sensor_stereo, -tlc[2, 3] > baseline)
-
-        last_pts = chain.pts
-        last_has = chain.has
+        # relative z-motion gate uses inv(velocity)'s z-translation
+        vel_inv = se3_geo.inverse(velocity)
+        fwd = jnp.logical_and(sensor_stereo, vel_inv[2, 3] > baseline)
+        bwd = jnp.logical_and(sensor_stereo, -vel_inv[2, 3] > baseline)
 
         # ---- frontend -----------------------------------------------------
         if sensor_stereo:
@@ -432,7 +448,7 @@ def build_track_step_chained(settings, sensor_stereo: bool):
         dmat = hamming.distance_matrix(chain.desc, f_desc)
 
         def mm_match(th):
-            radius = th * jnp.asarray(sf)[chain.octave]
+            radius = th * sf_c[chain.octave]
             du = jnp.abs(u[:, None] - f_xy[None, :, 0])
             dv = jnp.abs(v[:, None] - f_xy[None, :, 1])
             window = (du < radius[:, None]) & (dv < radius[:, None])
@@ -461,6 +477,7 @@ def build_track_step_chained(settings, sensor_stereo: bool):
         mm_ok = jnp.where(use2, ok2, ok1)
         n_mm = jnp.sum(mm_ok)
 
+        # per-feature slot + pid after motion match
         assign = jnp.full((N,), -1, jnp.int32)
         assign = assign.at[jnp.where(mm_ok, mm_idx, N)].set(
             jnp.arange(L, dtype=jnp.int32), mode="drop")
@@ -502,7 +519,7 @@ def build_track_step_chained(settings, sensor_stereo: bool):
             & (view_cos > 0.5)
         )
         r0 = jnp.where(view_cos > 0.998, 2.5, 4.0)
-        radius = r0 * th_local * jnp.asarray(sf)[level]
+        radius = r0 * th_local * sf_c[level]
         du = jnp.abs(ul[:, None] - f_xy[None, :, 0])
         dv = jnp.abs(vl[:, None] - f_xy[None, :, 1])
         window = (du < radius[:, None]) & (dv < radius[:, None])
@@ -539,6 +556,11 @@ def build_track_step_chained(settings, sensor_stereo: bool):
             T1, obs2, fx, fy, cx, cy, bf, 4, 10)
 
         inlier = inl2 & (assign >= 0)
+        # resolve per-feature point ids directly on device
+        all_pids = jnp.concatenate([chain.pid, cand_pids], 0)
+        feat_pid = jnp.where(
+            assign >= 0, all_pids[jnp.maximum(assign, 0)], -1)
+
         f32_pack = jnp.concatenate([
             T2.reshape(-1),                              # 16
             jnp.stack([n_mm.astype(jnp.float32),
@@ -549,7 +571,7 @@ def build_track_step_chained(settings, sensor_stereo: bool):
             f_val.astype(jnp.float32),                   # N
             ur, depth,                                   # 2N
             feats.response,                              # N
-            assign.astype(jnp.float32),                  # N
+            feat_pid.astype(jnp.float32),                # N  (pid, not slot)
             inlier.astype(jnp.float32),                  # N
             vis_l.astype(jnp.float32),                   # M
             jax.lax.bitcast_convert_type(
@@ -557,9 +579,8 @@ def build_track_step_chained(settings, sensor_stereo: bool):
         ])
         new_chain = ChainState(
             xy=f_xy, ur=ur, octave=f_oct, angle=f_ang, desc=f_desc,
-            pts=all_pts[jnp.maximum(assign, 0)],
-            has=inlier,
-            T_cur=T2, T_prev=chain.T_cur,
+            pid=jnp.where(inlier, feat_pid, -1),
+            T_cur=T2, velocity=T2 @ se3_geo.inverse(chain.T_cur),
         )
         return TrackOut(f32_pack, f_desc), new_chain
 

@@ -108,11 +108,13 @@ class Tracker:
         self._frames_since_map_refresh = 0
 
         # frame pipelining: dispatch frame t+1 before pulling frame t
-        # (results delayed by one frame).  EXPERIMENTAL: chained device
-        # state rides the pre-BA map frame between refreshes, which
-        # accumulates drift under keyframe-heavy motion; round-2 plan is
-        # a device-resident map mirror so BA updates reach the chain.
-        # Default OFF; the one-dispatch fast path is the stable default.
+        # (results delayed by one frame).  The chained step gathers point
+        # data from the device map mirror (slam/device_map.py) and is
+        # verified equivalent to the fast step when serialized; TRUE
+        # 1-frame-lag pipelining still destabilizes keyframe-heavy
+        # sequences because a dispatch issued in the same call as a
+        # keyframe insertion cannot see its new points.  Round-2 plan:
+        # one-frame keyframe lookahead.  Default OFF.
         self.pipelined = bool(getattr(settings, "pipelined", False))
         self._chain_step = None
         self._chain = None            # device ChainState
@@ -338,6 +340,17 @@ class Tracker:
                 self.s, self.sensor == Sensor.STEREO)
         return self._chain_step
 
+    def _get_device_map(self):
+        if getattr(self, "_device_map", None) is None or \
+                self._device_map.store is not self.store:
+            from orb_slam2_tpu.slam.device_map import DeviceMap
+
+            self._device_map = DeviceMap(self.store)
+            # seed: everything currently in the map is dirty
+            self._device_map.dirty.update(
+                int(p) for p in self.store.valid_pt_ids())
+        return self._device_map
+
     def _bootstrap_chain(self):
         """Build the device ChainState from the last processed frame."""
         store = self.store
@@ -348,33 +361,31 @@ class Tracker:
         self._replace_updated_points(self.last_frame)
         self._update_last_frame()
         last = self.last_frame
-        bind = last.bindings
-        pids = np.where(bind >= 0, bind, 0)
-        has = (bind >= 0) & store.pt_valid[pids] & ~last.outlier
+        bind = last.bindings.astype(np.int32)
+        pid = np.where(
+            (bind >= 0) & store.pt_valid[np.maximum(bind, 0)]
+            & ~last.outlier, bind, -1).astype(np.int32)
         T_cur = last.Tcw.astype(np.float32)
-        T_prev = (np.linalg.inv(self.velocity) @ T_cur).astype(np.float32)
         return ts.ChainState(
             xy=last.feats.device("xy"), ur=last.feats.device("ur"),
             octave=last.feats.device("octave"),
             angle=last.feats.device("angle"),
             desc=last.feats.device("desc"),
-            pts=jnp.asarray(store.pt_pos[pids].astype(np.float32)),
-            has=jnp.asarray(has),
-            T_cur=jnp.asarray(T_cur), T_prev=jnp.asarray(T_prev),
+            pid=jnp.asarray(pid),
+            T_cur=jnp.asarray(T_cur),
+            velocity=jnp.asarray(self.velocity.astype(np.float32)),
         )
 
     def _track_pipelined(self, img_l, img_r, timestamp):
         store = self.store
+        dmap = self._get_device_map()
 
-        # The chained step carries point POSITIONS from dispatch time, so
-        # local-BA updates never reach carried bindings and matching
-        # degrades until tracking diverges.  Every few frames (and after
-        # keyframe insertion, when BA ran) pay one serialized frame:
-        # process the pending result first and rebuild the chain from the
-        # fresh host map.
+        # The chain's poses still ride the map frame from dispatch time;
+        # point data comes fresh from the device mirror.  Re-anchor the
+        # chain from host state occasionally and after keyframes (BA).
         self._chain_age = getattr(self, "_chain_age", 0) + 1
         refresh = (self._chain is None or self._chain_age >= 4
-                   or getattr(self, "_chain_dirty", False))
+                   or getattr(self, "_chain_dirty", 0) > 0)
         pose_pre = None
         if refresh:
             if self._pending is not None:
@@ -383,32 +394,41 @@ class Tracker:
                 if self.state != State.OK or self.last_frame is None:
                     self._chain = None
                     return pose_pre
+            # drain mapping BEFORE re-anchoring so the fresh chain and
+            # candidate list see the newest triangulations/BA (exact
+            # fast-path parity on refresh frames)
+            if self.local_mapper is not None:
+                self.local_mapper.spin()
             with store.lock:
+                self._update_local_map()
+                self._frames_since_map_refresh = 0
                 self._chain = self._bootstrap_chain()
             self._chain_age = 0
-            self._chain_dirty = False
+            self._chain_dirty = max(
+                getattr(self, "_chain_dirty", 0) - 1, 0)
 
         with store.lock:
-            # exclude only what the dispatched chain actually carries:
-            # after a refresh that is the full binding set; otherwise the
-            # inlier pids recorded when the chain's frame was processed
-            exclude = None if refresh else getattr(
-                self, "_chain_pids", None)
-            cand, loc_f32, loc_desc, M, nc = self._local_block(exclude)
+            # candidate pid list only — the step gathers the data from
+            # the mirror and excludes chain-carried pids on device
+            lp = self.local_pts
+            cand = lp[store.pt_valid[lp]].astype(np.int32)
+            M = self._buckets("local", max(len(cand), 1))
+            cand_pids = np.full(M, -1, np.int32)
+            cand_pids[: len(cand)] = cand
+            dmap.flush()
         th_local = 3.0 if self.sensor == Sensor.RGBD else 1.0
-        scal = np.array([th_local, nc], np.float32)
+        scal = np.array([th_local, 0.0], np.float32)
 
         step = self._get_chain_step()
         img_l_d = self.builder._upload(img_l)
         img_r_d = (self.builder._upload(img_r)
                    if img_r is not None else img_l_d)
         out, new_chain = step(
-            img_l_d, img_r_d, self._chain,
-            jnp.asarray(loc_f32), jnp.asarray(loc_desc),
-            jnp.asarray(scal),
+            img_l_d, img_r_d, self._chain, dmap.f32, dmap.desc,
+            jnp.asarray(cand_pids), jnp.asarray(scal),
         )
         out.f32_pack.copy_to_host_async()
-        meta = dict(timestamp=timestamp, M=M, cand=cand)
+        meta = dict(timestamp=timestamp, M=M, cand=cand_pids)
 
         pose = pose_pre
         if self._pending is not None:
@@ -420,14 +440,17 @@ class Tracker:
                 self._chain = None
                 return pose
             if self.last_kf_frame_id == self.last_frame.frame_id:
-                self._chain_dirty = True   # BA ran; refresh next frame
+                # KF/BA ran: serialize the next two frames so tracking
+                # re-anchors to the updated map before pipelining resumes
+                self._chain_dirty = 2
         self._pending = (out, meta)
         self._chain = new_chain
         return pose
 
     def _process_pulled(self, out, meta):
         """Pull + apply a previously dispatched pipelined step (this is
-        frame t-1 relative to the latest dispatch)."""
+        frame t-1 relative to the latest dispatch).  The step reports
+        per-feature POINT IDS directly — no slot bookkeeping."""
         store = self.store
         from orb_slam2_tpu.ops.frontend import padded_total
 
@@ -454,31 +477,22 @@ class Tracker:
         frame.Tcw = res.Tcw
         frame.ref_kf = self.ref_kf
 
-        # slots [0, L) reference the previous frame's features; redirect
-        # bindings whose points were fused away since dispatch
-        # (Replace() chains; invalid pids would silently drop the
-        # strongest, most-fused tracks every keyframe)
-        self._seen_replace_epoch = -1    # force the sweep
-        self._replace_updated_points(last)
-        last_bind = last.bindings
-        last_pids = np.where(last_bind >= 0, last_bind, 0)
-        L = len(last_pids)
-        a = res.assign
-        bindings = np.full(n_feat, -1, np.int64)
-        from_last = (a >= 0) & (a < L)
-        bindings[from_last] = last_pids[a[from_last]]
-        from_local = a >= L
-        loc_slots = a[from_local] - L
-        in_range = loc_slots < len(cand)
-        rows = np.nonzero(from_local)[0][in_range]
-        bindings[rows] = cand[loc_slots[in_range]]
-        # drop bindings whose slot had no valid pid
-        bad_last = from_last & (last_bind[np.clip(a, 0, L - 1)] < 0)
-        bindings[bad_last] = -1
+        # res.assign carries pids; validate against the live map and
+        # follow Replace() chains (vectorized)
+        pid = res.assign.astype(np.int64)
+        ok = (pid >= 0) & (pid < store.n_pt)
+        resolved = np.where(ok, pid, -1)
+        for _ in range(4):
+            rep = store.pt_replaced_by[np.maximum(resolved, 0)]
+            step_mask = (resolved >= 0) & (rep >= 0)
+            if not step_mask.any():
+                break
+            resolved = np.where(step_mask, rep, resolved)
+        valid = (resolved >= 0) & store.pt_valid[np.maximum(resolved, 0)]
+        bindings = np.where(ok & valid, resolved, -1)
         frame.bindings = bindings
         frame.outlier = (bindings >= 0) & ~res.inlier
-        # the pids the NEXT chain carries = this frame's inlier bindings
-        self._chain_pids = bindings[(bindings >= 0) & res.inlier]
+        last_pids = np.where(last.bindings >= 0, last.bindings, 0)
 
         with store.lock:
             return self._apply_fast_result(
@@ -763,6 +777,7 @@ class Tracker:
         store.kf_pose[kf1] = T1s
         pids = store.valid_pt_ids()
         store.pt_pos[pids] *= inv_med
+        store.mark_dirty(pids)
         for pid in pids:
             store.update_normal_and_depth(int(pid))
             store.update_scale_band(int(pid), self.scale_factors)
