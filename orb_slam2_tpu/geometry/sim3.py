@@ -63,60 +63,45 @@ def inverse(S):
     return (Rt, t_inv, s_inv)
 
 
+def _phi1_V(w: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """V(w, sigma) = integral_0^1 e^{sigma u} exp(u*hat(w)) du = phi1(G)
+    with G = sigma*I + hat(w)  (sigma*I commutes with hat(w)).
+
+    Evaluated branch-free by scaling-and-squaring on the doubling identity
+    phi1(2A) = (e^A + I)/2 * phi1(A),  e^{2A} = (e^A)^2, with a short Taylor
+    series at the scaled-down argument.  Uniformly accurate in f32 for
+    |w| <= pi + |sigma| <= ~8 (the closed-form coefficient formulas suffer
+    catastrophic cancellation for small theta/sigma in f32), and exact to
+    machine eps under forward/reverse autodiff — required by the pose-graph
+    Jacobians (ref semantics: Thirdparty/g2o/g2o/types/sim3.h ctor).
+    """
+    G = se3.hat(w) + sigma[..., None, None] * jnp.broadcast_to(
+        jnp.eye(3, dtype=w.dtype), w.shape[:-1] + (3, 3)
+    )
+    SQUARINGS = 7  # handles ||G|| up to ~8 with scaled norm <= 1/16
+    A = G * (1.0 / (1 << SQUARINGS))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), G.shape)
+    # phi1(A) = I + A/2! + A^2/3! + ... ; e^A = I + A*phi1(A)
+    P = eye / 5040.0
+    for k in (720.0, 120.0, 24.0, 6.0, 2.0, 1.0):
+        P = eye / k + A @ P
+    E = eye + A @ P
+    for _ in range(SQUARINGS):
+        P = 0.5 * (E + eye) @ P
+        E = E @ E
+    return P
+
+
 def exp(xi: jnp.ndarray):
     """sim(3) exp: (...,7) [rho, omega, sigma] -> (R, t, s).
 
-    Uses the closed-form W matrix of Sim(3) (as in g2o sim3.h ctor from a
-    7-vector), series-expanded near sigma=0 / theta=0.
+    Same semantics as g2o's Sim3 7-vector ctor (sim3.h); t = V(w,sigma) rho
+    with V evaluated by the branch-free phi1 scheme above.
     """
     rho, w, sigma = xi[..., 0:3], xi[..., 3:6], xi[..., 6]
     s = jnp.exp(sigma)
     R = se3.exp_so3(w)
-    theta2 = jnp.sum(w * w, -1)
-    W = se3.hat(w)
-    W2 = W @ W
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-
-    sig = sigma
-    s_ = s
-    near_sig = jnp.abs(sig) < 1e-5
-    near_th = theta2 < 1e-10
-
-    # double-where: substitute safe values BEFORE any division so autodiff
-    # through theta = 0 / sigma = 0 stays NaN-free.
-    sig_safe = jnp.where(near_sig, 1.0, sig)
-    theta2_safe = jnp.where(near_th, 1.0, theta2)
-    theta = jnp.sqrt(theta2_safe)
-
-    # coefficients A, B, C of V = C*I + A*W + B*W^2 (Strasdat's Sim3 exp)
-    C = jnp.where(near_sig, 1.0 + 0.5 * sig, (s_ - 1.0) / sig_safe)
-
-    a = s_ * jnp.sin(theta)
-    b = s_ * jnp.cos(theta)
-    t2s2 = theta2_safe + sig * sig
-    safe_t2s2 = jnp.where(t2s2 < _EPS, 1.0, t2s2)
-
-    A_gen = (a * sig + (1.0 - b) * theta) / (theta * safe_t2s2)
-    B_gen = (C - ((b - 1.0) * sig + a * theta) / safe_t2s2) / theta2_safe
-
-    # sigma -> 0 limits
-    A_sig0 = (1.0 - jnp.cos(theta)) / theta2_safe
-    B_sig0 = (theta - jnp.sin(theta)) / (theta2_safe * theta)
-    # theta -> 0 limits
-    A_th0 = jnp.where(
-        near_sig, 0.5 + sig / 3.0,
-        ((sig - 1.0) * s_ + 1.0) / (sig_safe * sig_safe),
-    )
-    B_th0 = jnp.where(
-        near_sig, 1.0 / 6.0 + sig / 8.0,
-        (s_ * (0.5 * sig * sig - sig + 1.0) - 1.0)
-        / (sig_safe * sig_safe * sig_safe),
-    )
-
-    A = jnp.where(near_th, A_th0, jnp.where(near_sig, A_sig0, A_gen))
-    B = jnp.where(near_th, B_th0, jnp.where(near_sig, B_sig0, B_gen))
-
-    V = C[..., None, None] * eye + A[..., None, None] * W + B[..., None, None] * W2
+    V = _phi1_V(w, sigma)
     t = jnp.einsum("...ij,...j->...i", V, rho)
     return (R, t, s)
 
@@ -130,18 +115,8 @@ def log(S) -> jnp.ndarray:
     R, t, s = S
     w = se3.log_so3(R)
     sigma = jnp.log(s)
-    xi_ws = jnp.concatenate([jnp.zeros_like(w), w, sigma[..., None]], -1)
-    # Rebuild V by calling exp with rho = e_i basis — or directly recompute
-    # the same A,B,C coefficients; easiest is to reuse exp's V via linearity:
-    e = jnp.eye(3, dtype=R.dtype)
-    cols = []
-    for i in range(3):
-        rho_i = jnp.broadcast_to(e[i], w.shape)
-        _, t_i, _ = exp(jnp.concatenate([rho_i, w, sigma[..., None]], -1))
-        cols.append(t_i)
-    V = jnp.stack(cols, -1)
+    V = _phi1_V(w, sigma)
     rho = jnp.linalg.solve(V, t[..., None])[..., 0]
-    del xi_ws
     return jnp.concatenate([rho, w, sigma[..., None]], -1)
 
 

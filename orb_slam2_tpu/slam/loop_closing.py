@@ -410,12 +410,25 @@ class LoopCloser:
                 R[i], t[i] = T[:3, :3], T[:3, 3]
         fixed[index[cand]] = True                  # ref :830
 
-        def rel_measure(ki, kj, use_pre=True):
-            """S_j_i measured from (pre-correction) poses."""
+        def rel_measure(ki, kj):
+            """S_j_i measured from pre-correction poses (the drift-consistent
+            odometry; ref uses NonCorrectedSim3 for these edges)."""
             Ti = pre_pose.get(ki, store.kf_pose[ki])
             Tj = pre_pose.get(kj, store.kf_pose[kj])
             Tji = Tj @ np.linalg.inv(Ti)
             return Tji[:3, :3], Tji[:3, 3], 1.0
+
+        def corrected_sim3(ki):
+            """vScw of the reference: corrected Sim3 where available, else
+            the current store pose (ref: src/Optimizer.cc:808-828)."""
+            if ki in corrected:
+                return corrected[ki]
+            T = store.kf_pose[ki]
+            return (T[:3, :3], T[:3, 3], 1.0)
+
+        def corrected_measure(ki, kj):
+            return _sim3_compose_np(
+                corrected_sim3(kj), _sim3_inverse_np(corrected_sim3(ki)))
 
         e_i, e_j, mR, mt, ms = [], [], [], [], []
         added = set()
@@ -442,6 +455,16 @@ class LoopCloser:
         S_loop = _sim3_compose_np(Sk, _sim3_inverse_np(S_cand))
         add_edge(cand, kf, meas=S_loop)
 
+        # new cross-loop covisibility links measured from CORRECTED poses —
+        # these bridge the drifted window to the old loop area, so a
+        # pre-correction measurement would re-anchor the drift (ref
+        # :834-860 measures LoopConnections from vScw).  Added FIRST so the
+        # generic covisibility sweep below can't claim them with a drifted
+        # measurement.
+        for ki, links in loop_connections.items():
+            for kj in links:
+                add_edge(ki, kj, meas=corrected_measure(ki, kj))
+
         for k in kfs:
             parent = int(store.kf_parent[k])
             if parent >= 0 and store.kf_valid[parent]:
@@ -451,9 +474,6 @@ class LoopCloser:
                     add_edge(le, k)
             for nb in store.covisibles_by_weight(k, 100):
                 add_edge(nb, k)
-        for ki, links in loop_connections.items():
-            for kj in links:
-                add_edge(ki, kj)
 
         E = max(len(e_i), 1)
         prob = pose_graph.PoseGraphProblem(

@@ -219,6 +219,57 @@ class TestPoseGraph:
         # scales should stay ~1 for rigid odometry
         np.testing.assert_allclose(np.asarray(s_o), 1.0, atol=0.05)
 
+    def test_exact_measurements_converge_to_zero(self):
+        """With exact relative measurements a drifted loop must converge to
+        the exact ground truth (regression: f32 instability in sim3 log/exp
+        left a residual plateau)."""
+        K = 30
+        th = 2 * np.pi * np.arange(K) / K
+        Cs = np.stack([8 * np.cos(th), 8 * np.sin(th), np.zeros(K)], -1)
+        Rw = Rotation.from_euler("z", th[:, None]).as_matrix()
+        R_true = Rw.transpose(0, 2, 1).astype(np.float32)
+        t_true = -np.einsum("kij,kj->ki", R_true, Cs).astype(np.float32)
+
+        # drifted initial estimates
+        R_est, t_est, s_est = R_true.copy(), t_true.copy(), np.ones(K)
+        accR = np.eye(3)
+        acct = np.zeros(3)
+        accs = 1.0
+        dR = Rotation.from_euler("z", 0.015).as_matrix()
+        for k in range(K):
+            R_est[k] = R_true[k] @ accR.T
+            t_est[k] = t_true[k] - R_true[k] @ accR.T @ acct
+            s_est[k] = accs
+            accR = accR @ dR
+            acct = acct + np.array([0.03, 0.0, 0.015])
+            accs *= 1.003
+
+        def rel(i, j):
+            Rr = R_true[j] @ R_true[i].T
+            return Rr, t_true[j] - Rr @ t_true[i], 1.0
+
+        edges = [rel(k, (k + 1) % K) for k in range(K)]
+        ei = np.array([k for k in range(K)], np.int32)
+        ej = np.array([(k + 1) % K for k in range(K)], np.int32)
+        prob = pose_graph.PoseGraphProblem(
+            R=jnp.asarray(R_est), t=jnp.asarray(t_est),
+            s=jnp.asarray(s_est.astype(np.float32)),
+            fixed=jnp.asarray(np.arange(K) == 0), vmask=jnp.ones(K, bool),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            meas_R=jnp.asarray(np.stack([e[0] for e in edges]).astype(np.float32)),
+            meas_t=jnp.asarray(np.stack([e[1] for e in edges]).astype(np.float32)),
+            meas_s=jnp.ones(K), emask=jnp.ones(K, bool),
+        )
+        R_o, t_o, s_o = pose_graph.optimize(prob, iters=20)
+        C_o = -np.einsum("kji,kj->ki", np.asarray(R_o), np.asarray(t_o)) \
+            / np.asarray(s_o)[:, None]
+        err_init = np.linalg.norm(
+            -np.einsum("kji,kj->ki", R_est, t_est) / s_est[:, None] - Cs,
+            axis=1).max()
+        err = np.linalg.norm(C_o - Cs, axis=1).max()
+        assert err_init > 1.0
+        assert err < 5e-3, (err_init, err)
+
     def test_scale_drift_correction(self):
         """Monocular-style scale drift absorbed by Sim3 vertices."""
         rng = np.random.default_rng(7)

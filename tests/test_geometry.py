@@ -82,6 +82,19 @@ class TestSim3:
         xi2 = np.asarray(sim3.log(S))
         np.testing.assert_allclose(xi2, xi, atol=3e-4)
 
+    def test_exp_log_roundtrip_small_magnitudes(self):
+        """Regression: the closed-form V coefficients had a f32 hole for
+        theta, sigma in (1e-5, 1e-4) (safe-denominator substitution without
+        a matching Taylor branch) producing NaN from log(exp(xi))."""
+        rng = np.random.default_rng(8)
+        for mag in (1e-3, 3e-4, 1e-4, 3e-5, 1e-5, 1e-6):
+            xi = rng.normal(0, mag, (256, 7))
+            S = sim3.exp(jnp.asarray(xi, jnp.float32))
+            xi2 = np.asarray(sim3.log(S))
+            assert np.isfinite(xi2).all(), mag
+            # atol bounded by XLA f32 exp/log ULP error near s = 1
+            np.testing.assert_allclose(xi2, xi, atol=1e-5)
+
     def test_sigma_zero_matches_se3(self):
         rng = np.random.default_rng(7)
         xi6 = rng.normal(0, 0.5, (8, 6))
