@@ -445,6 +445,16 @@ class Tracker:
                 self._chain_dirty = 2
         self._pending = (out, meta)
         self._chain = new_chain
+        # One-frame latency: the freshly dispatched frame's pose is not on
+        # host yet.  Return the motion-model PREDICTION for the current
+        # frame (velocity o last pose — same prior the in-flight step
+        # refines) so callers get a pose aligned with THIS timestamp; the
+        # authoritative trajectory entries are written when each frame is
+        # pulled, with its own timestamp.
+        if (self.state == State.OK and self.last_frame is not None
+                and self.velocity is not None
+                and self.last_frame.Tcw is not None):
+            return (self.velocity @ self.last_frame.Tcw).astype(np.float32)
         return pose
 
     def _process_pulled(self, out, meta):
