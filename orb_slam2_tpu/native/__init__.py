@@ -68,12 +68,20 @@ def load() -> Optional[ctypes.CDLL]:
     lib.mapcore_get_obs.restype = c.c_int
     lib.mapcore_find.argtypes = [c.c_void_p, c.c_int64, c.c_int32]
     lib.mapcore_find.restype = c.c_int
+    lib.mapcore_dump_obs.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int64), c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.c_int32]
+    lib.mapcore_dump_obs.restype = c.c_int
     lib.mapcore_count_observers.argtypes = [
         c.c_void_p, c.POINTER(c.c_int64), c.c_int32, c.c_int32,
         c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int32]
     lib.mapcore_count_observers.restype = c.c_int
     lib.mapcore_distinctive.argtypes = [c.POINTER(c.c_uint32), c.c_int32]
     lib.mapcore_distinctive.restype = c.c_int
+    lib.mapcore_distinctive_batch.argtypes = [
+        c.POINTER(c.c_uint32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        c.c_int32, c.POINTER(c.c_int32)]
     lib.mapcore_raycast.argtypes = [
         c.POINTER(c.c_float), c.POINTER(c.c_float), c.c_int32, c.c_int32,
         c.c_int32, c.c_int32, c.POINTER(c.c_int64), c.c_int32]

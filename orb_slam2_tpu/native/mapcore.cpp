@@ -109,6 +109,30 @@ int mapcore_get_obs(void* h, int64_t pid, int32_t* out_kf,
     return n;
 }
 
+// Batched observation dump: for each pid in `pids` write one row per
+// observation (index into `pids`, observing kf, feature) into the out
+// arrays.  Returns the number of rows written (truncated at cap).
+// Powers vectorized MapPoint updates (normal/depth/scale bands) after
+// bundle adjustment, replacing per-point Python loops.
+int mapcore_dump_obs(void* h, const int64_t* pids, int32_t n,
+                     int32_t* out_idx, int32_t* out_kf, int32_t* out_feat,
+                     int32_t cap) {
+    auto* e = static_cast<Engine*>(h);
+    int m = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        auto* v = find_obs(e, pids[i]);
+        if (!v) continue;
+        for (const auto& o : *v) {
+            if (m >= cap) return m;
+            out_idx[m] = i;
+            out_kf[m] = o.kf;
+            out_feat[m] = o.feat;
+            ++m;
+        }
+    }
+    return m;
+}
+
 // Does kf observe pid?  Returns feature index or -1.
 int mapcore_find(void* h, int64_t pid, int32_t kf) {
     auto* v = find_obs(static_cast<Engine*>(h), pid);
@@ -180,6 +204,20 @@ int mapcore_distinctive(const uint32_t* descs, int32_t n) {
         }
     }
     return best;
+}
+
+// Segmented batch of mapcore_distinctive: descs holds concatenated
+// per-point descriptor groups (rows of 8 uint32); segment i spans
+// [seg_start[i], seg_start[i] + seg_len[i]).  Writes the distinctive
+// row index WITHIN each segment to out_idx.  Replaces the per-point
+// Python loop in the post-fusion map-point refresh.
+void mapcore_distinctive_batch(const uint32_t* descs,
+                               const int32_t* seg_start,
+                               const int32_t* seg_len, int32_t n_segs,
+                               int32_t* out_idx) {
+    for (int32_t s = 0; s < n_segs; ++s)
+        out_idx[s] = mapcore_distinctive(descs + (int64_t)seg_start[s] * 8,
+                                         seg_len[s]);
 }
 
 // Bresenham-style visited/occupied accumulation for the occupancy grid

@@ -61,6 +61,17 @@ class PyObsEngine:
                 return o[1]
         return -1
 
+    def dump(self, pids: np.ndarray):
+        """All (pid_index, kf, feat) observation rows for a pid list."""
+        idx, kfs, feats = [], [], []
+        for i, pid in enumerate(pids):
+            for o in self._obs.get(int(pid), ()):
+                idx.append(i)
+                kfs.append(o[0])
+                feats.append(o[1])
+        return (np.array(idx, np.int32), np.array(kfs, np.int32),
+                np.array(feats, np.int32))
+
     def observers_of(self, pids: np.ndarray, exclude_kf: int = -1,
                      cap: int = 4096):
         counter: Dict[int, int] = {}
@@ -130,6 +141,26 @@ class NativeObsEngine:
 
     def find(self, pid, kf) -> int:
         return self._lib.mapcore_find(self._h, int(pid), int(kf))
+
+    def dump(self, pids: np.ndarray):
+        """All (pid_index, kf, feat) observation rows for a pid list."""
+        pids = np.ascontiguousarray(np.asarray(pids, np.int64))
+        cap = max(64, 8 * len(pids))
+        while True:
+            idx = np.empty(cap, np.int32)
+            kfs = np.empty(cap, np.int32)
+            feats = np.empty(cap, np.int32)
+            p32 = ctypes.POINTER(ctypes.c_int32)
+            n = self._lib.mapcore_dump_obs(
+                self._h,
+                pids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(pids),
+                idx.ctypes.data_as(p32), kfs.ctypes.data_as(p32),
+                feats.ctypes.data_as(p32), cap,
+            )
+            if n < cap:
+                return idx[:n], kfs[:n], feats[:n]
+            cap *= 4
 
     def observers_of(self, pids: np.ndarray, exclude_kf: int = -1,
                      cap: int = 4096):

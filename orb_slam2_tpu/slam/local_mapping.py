@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,15 +107,12 @@ class LocalMapper:
         covisibility, and enroll tracking-born points for culling."""
         store = self.store
         row = store.kf_obs[kf]
-        for pid in row[row >= 0]:
-            pid = int(pid)
-            if not store.pt_valid[pid]:
-                continue
-            store.compute_distinctive_descriptor(pid)
-            store.update_normal_and_depth(pid)
-            store.update_scale_band(pid, self.scale_factors)
-            if store.pt_first_kf[pid] == kf:
-                self.recent_points.append(pid)
+        pids = row[row >= 0]
+        pids = pids[store.pt_valid[pids]]
+        store.compute_distinctive_batch(pids)
+        store.update_points_batch(pids, self.scale_factors)
+        self.recent_points.extend(
+            int(p) for p in pids[store.pt_first_kf[pids] == kf])
         store.update_connections(kf)
 
     def _cull_map_points(self, kf: int):
@@ -205,6 +203,7 @@ class LocalMapper:
         idx_b, good_b, pts_b = tri.unpack_triangulate_batch(
             packed, B, store.n_feat)
 
+        born = []
         for bi, kf2 in enumerate(use):
             good = good_b[bi]
             idx = idx_b[bi]
@@ -217,10 +216,12 @@ class LocalMapper:
                 pid = store.add_point(pts[i], kf, store.kf_desc[kf, i])
                 store.add_observation(pid, kf, i)
                 store.add_observation(pid, kf2, j)
-                store.compute_distinctive_descriptor(pid)
-                store.update_normal_and_depth(pid)
-                store.update_scale_band(pid, self.scale_factors)
-                self.recent_points.append(pid)
+                born.append(pid)
+        if born:
+            born = np.array(born, np.int64)
+            store.compute_distinctive_batch(born)
+            store.update_points_batch(born, self.scale_factors)
+            self.recent_points.extend(int(p) for p in born)
 
     # ------------------------------------------------------------------
     def _fuse_into_kf(self, target_kf: int, pids: np.ndarray) -> int:
@@ -357,14 +358,11 @@ class LocalMapper:
             fuse_cands = store.points_in_kfs(targets)
             self._fuse_into_kf(kf, fuse_cands)
 
-        # refresh point stats + connections (ref :536-553)
+        # refresh point stats + connections (ref :536-553), batched
         row = store.kf_obs[kf]
-        for pid in row[row >= 0]:
-            pid = int(pid)
-            if store.pt_valid[pid]:
-                store.compute_distinctive_descriptor(pid)
-                store.update_normal_and_depth(pid)
-                store.update_scale_band(pid, self.scale_factors)
+        pids = row[row >= 0]
+        store.compute_distinctive_batch(pids)
+        store.update_points_batch(pids, self.scale_factors)
         store.update_connections(kf)
 
     # ------------------------------------------------------------------
@@ -444,24 +442,14 @@ class LocalMapper:
                 cams, fixed, pids
             )
         fx, fy, cx, cy, bf = self._intrinsics()
-        cam_T, pts, _ = ba.optimize(
-            prob, fx, fy, cx, cy, bf, iters=5, use_kernel=True, mode="dense"
-        )
-        if not self.abort_ba:
-            prob2 = prob._replace(cam_T=cam_T, pts=pts)
-            bad = np.asarray(ba.classify_outliers(prob2, fx, fy, cx, cy, bf))
-            edge_mask = np.asarray(prob.edge_mask) & ~bad
-            prob2 = prob2._replace(edge_mask=jnp.asarray(edge_mask))
-            cam_T, pts, _ = ba.optimize(
-                prob2, fx, fy, cx, cy, bf, iters=10, use_kernel=False,
-                mode="dense",
-            )
-            prob = prob2
+        # one fused device dispatch for the whole 5-iter / outlier /
+        # 10-iter / classify chain, one packed pull of the results
+        cam_T, pts, bad, valid_e = jax.device_get(ba.local_ba_chain(
+            prob, fx, fy, cx, cy, bf, iters1=5, iters2=10, mode="dense",
+            second_round=not self.abort_ba,
+        ))
 
-        # final outlier classification + erase observations (ref :718-760)
-        prob3 = prob._replace(cam_T=cam_T, pts=pts)
-        bad = np.asarray(ba.classify_outliers(prob3, fx, fy, cx, cy, bf))
-        valid_e = np.asarray(prob.edge_mask)
+        # erase outlier observations (ref :718-760)
         self.store.lock.acquire()
         for e in np.nonzero(bad & valid_e)[0]:
             c, feat = e_feat[e]
@@ -470,17 +458,13 @@ class LocalMapper:
                 store.erase_observation(pid, c)
 
         # write back (ref :760-779)
-        cam_T_np = np.asarray(cam_T)
+        fixed_set = set(fixed)
         for c, i in cam_index.items():
-            if c not in set(fixed):
-                store.kf_pose[c] = cam_T_np[i]
-        pts_np = np.asarray(pts)
-        for i, pid in enumerate(pids):
-            pid = int(pid)
-            if store.pt_valid[pid]:
-                store.pt_pos[pid] = pts_np[i]
-                store.update_normal_and_depth(pid)
-                store.update_scale_band(pid, self.scale_factors)
+            if c not in fixed_set:
+                store.kf_pose[c] = cam_T[i]
+        live = store.pt_valid[pids]
+        store.pt_pos[pids[live]] = pts[:len(pids)][live]
+        store.update_points_batch(pids, self.scale_factors)
         store.mark_dirty(pids)
         self.store.lock.release()
 
@@ -511,17 +495,13 @@ class LocalMapper:
         cam_T, pts, _ = ba.optimize(
             prob, fx, fy, cx, cy, bf, iters=iters, use_kernel=True, mode=mode
         )
-        cam_T_np = np.asarray(cam_T)
-        pts_np = np.asarray(pts)
+        cam_T_np, pts_np = jax.device_get((cam_T, pts))
         for c, i in cam_index.items():
             store.kf_pose[c] = cam_T_np[i]
-        for i, pid in enumerate(pids):
-            pid = int(pid)
-            if store.pt_valid[pid]:
-                store.pt_pos[pid] = pts_np[i]
-        for pid in pids:
-            store.update_normal_and_depth(int(pid))
-            store.update_scale_band(int(pid), self.scale_factors)
+        pids = np.asarray(pids)
+        live = store.pt_valid[pids]
+        store.pt_pos[pids[live]] = pts_np[:len(pids)][live]
+        store.update_points_batch(pids, self.scale_factors)
         store.mark_dirty(pids)
 
     # ------------------------------------------------------------------

@@ -394,6 +394,45 @@ class MapStore:
         self.pt_desc[pid] = descs[distinctive_index(descs)]
         self.mark_dirty(pid)
 
+    def compute_distinctive_batch(self, pids: np.ndarray):
+        """Vectorized compute_distinctive_descriptor over a pid list:
+        one obs dump, one gather, one native segmented min-median-Hamming
+        call (mapcore_distinctive_batch)."""
+        pids = np.asarray(pids, np.int64)
+        pids = pids[self.pt_valid[pids]]
+        if len(pids) == 0:
+            return
+        idx, kfs, feats = self.obs.dump(pids)
+        if len(idx) == 0:
+            return
+        n = len(pids)
+        descs = np.ascontiguousarray(self.kf_desc[kfs, feats])  # (M, 8)
+        seg_len = np.bincount(idx, minlength=n).astype(np.int32)
+        seg_start = np.zeros(n, np.int32)
+        np.cumsum(seg_len[:-1], out=seg_start[1:])
+        has = seg_len > 0
+        from orb_slam2_tpu import native as _native
+        lib = _native.load()
+        if lib is not None:
+            import ctypes as _c
+            out = np.empty(n, np.int32)
+            lib.mapcore_distinctive_batch(
+                descs.ctypes.data_as(_c.POINTER(_c.c_uint32)),
+                seg_start.ctypes.data_as(_c.POINTER(_c.c_int32)),
+                seg_len.ctypes.data_as(_c.POINTER(_c.c_int32)),
+                n, out.ctypes.data_as(_c.POINTER(_c.c_int32)),
+            )
+            best = seg_start + out
+        else:
+            best = np.empty(n, np.int64)
+            for i in range(n):
+                if not has[i]:
+                    continue
+                seg = descs[seg_start[i]:seg_start[i] + seg_len[i]]
+                best[i] = seg_start[i] + distinctive_index(seg)
+        self.pt_desc[pids[has]] = descs[best[has]]
+        self.mark_dirty(pids[has])
+
     def update_normal_and_depth(self, pid: int):
         """ref: MapPoint::UpdateNormalAndDepth (src/MapPoint.cc:330-371)."""
         obs = [kf for kf, _ in self.obs.items(pid)]
@@ -429,6 +468,67 @@ class MapStore:
         self.pt_max_dist[pid] = dist * scale_factors[level]
         self.pt_min_dist[pid] = self.pt_max_dist[pid] / scale_factors[n_levels - 1]
         self.mark_dirty(pid)
+
+    def update_points_batch(self, pids: np.ndarray,
+                            scale_factors: np.ndarray):
+        """Vectorized update_normal_and_depth + update_scale_band over a
+        pid list (the post-BA writeback hot path).  Same semantics as the
+        scalar versions (ref: src/MapPoint.cc:330-371) but one obs-engine
+        dump and pure-numpy segment reductions instead of a Python loop
+        per point."""
+        pids = np.asarray(pids, np.int64)
+        if len(pids) == 0:
+            return
+        keep = self.pt_valid[pids]
+        pids = pids[keep]
+        if len(pids) == 0:
+            return
+        idx, kfs, feats = self.obs.dump(pids)
+        if len(idx) == 0:
+            return
+        n = len(pids)
+        # camera centers for every referenced keyframe, vectorized
+        T = self.kf_pose[kfs]                                # (M, 4, 4)
+        centers = -np.einsum("mij,mi->mj", T[:, :3, :3], T[:, :3, 3])
+        rays = self.pt_pos[pids][idx] - centers              # (M, 3)
+        norms = np.linalg.norm(rays, axis=1)
+        ok = norms > 1e-9
+        unit = np.where(ok[:, None], rays / np.maximum(norms, 1e-9)[:, None],
+                        0.0)
+        acc = np.zeros((n, 3), np.float64)
+        np.add.at(acc, idx, unit)
+        cnt = np.zeros(n, np.int64)
+        np.add.at(cnt, idx, ok.astype(np.int64))
+        has_ref = self.pt_ref_kf[pids] >= 0
+        upd_n = (cnt > 0) & has_ref
+        mean = acc / np.maximum(cnt, 1)[:, None]
+        nn = np.linalg.norm(mean, axis=1)
+        normal = mean / np.maximum(nn, 1e-9)[:, None]
+        self.pt_normal[pids[upd_n]] = normal[upd_n].astype(np.float32)
+
+        # scale band: the ref-kf observation row, else the first row
+        ref = self.pt_ref_kf[pids]
+        is_ref_row = kfs == ref[idx]
+        # first row per point (dump emits rows grouped by pid order)
+        first = np.full(n, np.iinfo(np.int64).max, np.int64)
+        rows = np.arange(len(idx))
+        np.minimum.at(first, idx, rows)
+        first[first == np.iinfo(np.int64).max] = -1
+        chosen = first.copy()
+        ref_rows = rows[is_ref_row]
+        chosen[idx[is_ref_row]] = ref_rows
+        has_obs = first >= 0
+        ci = np.maximum(chosen, 0)
+        ref_used = kfs[ci]
+        feat_used = feats[ci]
+        dist = np.linalg.norm(self.pt_pos[pids] - centers[ci], axis=1)
+        level = self.kf_octave[ref_used, feat_used].astype(np.int64)
+        max_d = (dist * scale_factors[level]).astype(np.float32)
+        min_d = (max_d / scale_factors[len(scale_factors) - 1]).astype(
+            np.float32)
+        self.pt_max_dist[pids[has_obs]] = max_d[has_obs]
+        self.pt_min_dist[pids[has_obs]] = min_d[has_obs]
+        self.mark_dirty(pids)
 
     # ------------------------------------------------------------------
     # covisibility graph + spanning tree

@@ -679,14 +679,17 @@ class Tracker:
         )
         store.origin_kf = kf
         depth = frame.feats.depth
+        born = []
         for i in np.nonzero((depth > 0) & frame.feats.valid)[0]:
             pos = self._unproject(frame, int(i))
             pid = store.add_point(pos, kf, frame.feats.desc[i])
             store.add_observation(pid, kf, int(i))
-            store.compute_distinctive_descriptor(pid)
-            store.update_normal_and_depth(pid)
-            store.update_scale_band(pid, self.scale_factors)
             frame.bindings[i] = pid
+            born.append(pid)
+        if born:
+            born = np.array(born, np.int64)
+            store.compute_distinctive_batch(born)
+            store.update_points_batch(born, self.scale_factors)
         self.ref_kf = kf
         frame.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
@@ -759,16 +762,19 @@ class Tracker:
         store.origin_kf = kf0
         kf1 = store.add_keyframe(frame.feats, T1, frame.timestamp,
                                  frame.frame_id)
+        born = []
         for i in np.nonzero(good)[0]:
             j = int(idx[i])
             pid = store.add_point(pts3d[i], kf1, frame.feats.desc[j])
             store.add_observation(pid, kf0, int(i))
             store.add_observation(pid, kf1, j)
-            store.compute_distinctive_descriptor(pid)
-            store.update_normal_and_depth(pid)
-            store.update_scale_band(pid, self.scale_factors)
             f0.bindings[i] = pid
             frame.bindings[j] = pid
+            born.append(pid)
+        if born:
+            born = np.array(born, np.int64)
+            store.compute_distinctive_batch(born)
+            store.update_points_batch(born, self.scale_factors)
         store.update_connections(kf0)
         store.update_connections(kf1)
 
@@ -788,9 +794,7 @@ class Tracker:
         pids = store.valid_pt_ids()
         store.pt_pos[pids] *= inv_med
         store.mark_dirty(pids)
-        for pid in pids:
-            store.update_normal_and_depth(int(pid))
-            store.update_scale_band(int(pid), self.scale_factors)
+        store.update_points_batch(pids, self.scale_factors)
         frame.Tcw = store.kf_pose[kf1].copy()
 
         self.ref_kf = kf1
@@ -1219,6 +1223,7 @@ class Tracker:
             cand = np.nonzero((depth > 0) & frame.feats.valid)[0]
             order = cand[np.argsort(depth[cand])]
             n_pts = 0
+            born = []
             for i in order:
                 i = int(i)
                 pid = int(frame.bindings[i])
@@ -1229,13 +1234,15 @@ class Tracker:
                     pos = self._unproject(frame, i)
                     new_pid = store.add_point(pos, kf, frame.feats.desc[i])
                     store.add_observation(new_pid, kf, i)
-                    store.compute_distinctive_descriptor(new_pid)
-                    store.update_normal_and_depth(new_pid)
-                    store.update_scale_band(new_pid, self.scale_factors)
                     frame.bindings[i] = new_pid
+                    born.append(new_pid)
                 n_pts += 1
                 if depth[i] > self.s.depth_threshold and n_pts > 100:
                     break
+            if born:
+                born = np.array(born, np.int64)
+                store.compute_distinctive_batch(born)
+                store.update_points_batch(born, self.scale_factors)
         self.last_kf_frame_id = frame.frame_id
         if self.local_mapper is not None:
             self.local_mapper.insert_keyframe(kf)

@@ -305,9 +305,45 @@ def optimize(
     return cam_T, pts, errs[-1]
 
 
+@jax.jit
 def classify_outliers(prob: BAProblem, fx, fy, cx, cy, bf):
     """Edge outlier mask: chi2 > threshold or positive-depth violation
     (ref: src/Optimizer.cc:672-689, 718-739)."""
     chi2, is_st, ok = edge_chi2(prob, fx, fy, cx, cy, bf)
     th = jnp.where(is_st, CHI2_STEREO, CHI2_MONO)
     return (chi2 > th) | ~ok
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters1", "iters2", "mode", "second_round")
+)
+def local_ba_chain(
+    prob: BAProblem, fx, fy, cx, cy, bf,
+    iters1: int = 5, iters2: int = 10, mode: str = "dense",
+    second_round: bool = True,
+):
+    """The full LocalBundleAdjustment device chain in ONE dispatch
+    (ref: src/Optimizer.cc:453-780): 5 Huber-kernel LM iterations, edge
+    outlier classification, re-optimize the inlier set 10 iterations
+    without the kernel, final outlier classification.  Fusing the chain
+    avoids 3 extra host<->device round trips per keyframe.
+
+    Returns (cam_T, pts, final_bad_mask, post_round1_edge_mask).
+    """
+    cam_T, pts, _ = optimize(
+        prob, fx, fy, cx, cy, bf, iters=iters1, use_kernel=True, mode=mode
+    )
+    if not second_round:
+        prob1 = prob._replace(cam_T=cam_T, pts=pts)
+        bad = classify_outliers(prob1, fx, fy, cx, cy, bf)
+        return cam_T, pts, bad, prob.edge_mask
+    prob1 = prob._replace(cam_T=cam_T, pts=pts)
+    bad1 = classify_outliers(prob1, fx, fy, cx, cy, bf)
+    mask2 = prob.edge_mask & ~bad1
+    prob2 = prob1._replace(edge_mask=mask2)
+    cam_T, pts, _ = optimize(
+        prob2, fx, fy, cx, cy, bf, iters=iters2, use_kernel=False, mode=mode
+    )
+    prob3 = prob2._replace(cam_T=cam_T, pts=pts)
+    bad = classify_outliers(prob3, fx, fy, cx, cy, bf)
+    return cam_T, pts, bad, mask2

@@ -175,6 +175,61 @@ class TestMapStore:
         assert m.kf_obs[k0, 5] == -1
         assert m.obs.find(a, k0) == 0
 
+    def test_batched_point_update_matches_scalar(self):
+        """update_points_batch == per-point update_normal_and_depth +
+        update_scale_band on a randomized multi-KF map."""
+        from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
+
+        rng = np.random.default_rng(7)
+        n_feat, n_kf, n_pt = 32, 5, 20
+        m = MapStore(n_feat, kf_cap=8, pt_cap=64)
+        scale_factors = 1.2 ** np.arange(8)
+        kfs = []
+        for k in range(n_kf):
+            ff = FrameFeatures(
+                xy=rng.uniform(0, 100, (n_feat, 2)).astype(np.float32),
+                xy_raw=np.zeros((n_feat, 2), np.float32),
+                ur=np.full(n_feat, -1.0, np.float32),
+                depth=np.full(n_feat, -1.0, np.float32),
+                octave=rng.integers(0, 8, n_feat).astype(np.int32),
+                angle=np.zeros(n_feat, np.float32),
+                desc=rng.integers(0, 2 ** 32, (n_feat, 8)).astype(np.uint32),
+                valid=np.ones(n_feat, bool),
+                node=np.full(n_feat, -1, np.int32),
+                word=np.full(n_feat, -1, np.int32),
+            )
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = rng.normal(0, 2, 3)
+            kfs.append(m.add_keyframe(ff, T, float(k), k))
+        pids = []
+        feat_next = {k: 0 for k in kfs}
+        for i in range(n_pt):
+            ref = kfs[rng.integers(0, n_kf)]
+            p = m.add_point(rng.normal(0, 5, 3).astype(np.float32), ref,
+                            np.zeros(8, np.uint32))
+            obs_kfs = rng.permutation(kfs)[:rng.integers(1, n_kf + 1)]
+            for k in obs_kfs:
+                m.add_observation(p, int(k), feat_next[int(k)])
+                feat_next[int(k)] += 1
+            pids.append(p)
+        pids = np.array(pids)
+        # scalar reference values
+        for pid in pids:
+            m.update_normal_and_depth(int(pid))
+            m.update_scale_band(int(pid), scale_factors)
+        ref_normal = m.pt_normal[pids].copy()
+        ref_max = m.pt_max_dist[pids].copy()
+        ref_min = m.pt_min_dist[pids].copy()
+        # perturb then batch-update
+        m.pt_normal[pids] = 0
+        m.pt_max_dist[pids] = -1
+        m.pt_min_dist[pids] = -1
+        m.update_points_batch(pids, scale_factors)
+        np.testing.assert_allclose(m.pt_normal[pids], ref_normal,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(m.pt_max_dist[pids], ref_max, rtol=1e-5)
+        np.testing.assert_allclose(m.pt_min_dist[pids], ref_min, rtol=1e-5)
+
     def test_covisibility_and_spanning_tree(self):
         m, ff = self._store()
         k0 = m.add_keyframe(ff, np.eye(4, dtype=np.float32), 0.0, 0)
