@@ -67,6 +67,9 @@ def main(argv=None):
     ap.add_argument("--localization", action="store_true")
     ap.add_argument("--grid-map", default=None)
     ap.add_argument("--save-map", default=None)
+    ap.add_argument("--ar", default=None, metavar="OUT_DIR",
+                    help="AR demo (ref: ros_mono_ar.cc): detect a plane, "
+                         "anchor a virtual cube, save overlay frames")
     args = ap.parse_args(argv)
 
     d = args.driver
@@ -100,6 +103,14 @@ def main(argv=None):
     sys_ = _build_system(args, sensor)
     if args.localization:
         sys_.activate_localization_mode()
+    ar_viewer = None
+    if args.ar:
+        import os
+
+        from orb_slam2_tpu.viz.ar import ARViewer
+
+        os.makedirs(args.ar, exist_ok=True)
+        ar_viewer = ARViewer(sys_)
 
     times = []
     for i, frame in enumerate(frames):
@@ -111,11 +122,16 @@ def main(argv=None):
             sys_.track_monocular(img, ts)
         elif sensor == Sensor.STEREO:
             l, r, ts = frame
+            img = l
             sys_.track_stereo(l, r, ts)
         else:
             img, depth, ts = frame
             sys_.track_rgbd(img, depth, ts)
         times.append(time.perf_counter() - t0)
+        if ar_viewer is not None:
+            import cv2
+
+            cv2.imwrite(f"{args.ar}/ar_{i:05d}.png", ar_viewer.draw(img))
         if i % 50 == 0:
             print(f"frame {i}: {sys_.tracking_state().name} "
                   f"kf={int(sys_.map.kf_valid.sum())} "

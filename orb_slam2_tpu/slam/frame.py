@@ -77,6 +77,23 @@ class FrameBuilder:
         if settings.rectification is not None:
             self._rect = cam.rectify_maps(settings.rectification)
 
+    def refresh_calibration(self):
+        """Re-derive intrinsics/distortion/bounds from the (mutated)
+        Settings (ref: Tracking::ChangeCalibration)."""
+        s = self.s
+        self.intr = cam.Intrinsics(
+            jnp.float32(s.fx), jnp.float32(s.fy),
+            jnp.float32(s.cx), jnp.float32(s.cy),
+        )
+        self.dist = (
+            jnp.asarray(s.dist_coeffs, jnp.float32)
+            if s.has_distortion else None
+        )
+        self.bounds = cam.compute_image_bounds(
+            s.width, s.height, self.intr,
+            s.dist_coeffs if s.has_distortion else None,
+        )
+
     def _upload(self, img: np.ndarray) -> jnp.ndarray:
         """Host->device image upload as uint8 (4x less tunnel traffic than
         f32; the frontend casts on device)."""

@@ -486,31 +486,43 @@ class LoopCloser:
             jnp.asarray(np.array(ms, np.float32)),
             jnp.asarray(np.ones(len(e_i), bool)),
         )
-        R_o, t_o, s_o = pose_graph.optimize(prob, iters=20)
+        # dense 7Kx7K solve up to a few hundred KFs; matrix-free PCG above
+        mode = "dense" if K <= 256 else "cg"
+        R_o, t_o, s_o = pose_graph.optimize(prob, iters=20, mode=mode)
         R_o = np.asarray(R_o)
         t_o = np.asarray(t_o)
         s_o = np.asarray(s_o)
 
         # write back SE3 poses [R, t/s] and remap points via their
-        # reference keyframe's correction (ref :991-1043)
-        old_Siw = {k: (store.kf_pose[k][:3, :3].copy(),
-                       store.kf_pose[k][:3, 3].copy(), 1.0) for k in kfs}
-        # points first (need old & new pose of the reference KF)
-        for pid in store.valid_pt_ids():
-            pid = int(pid)
-            ref = int(store.pt_ref_kf[pid])
-            if ref not in index:
-                obs = store.obs.items(pid)
-                ref = obs[0][0] if obs else -1
-                if ref not in index:
-                    continue
-            i = index[ref]
-            S_new = (R_o[i], t_o[i], float(s_o[i]))
-            S_old = old_Siw[ref]
-            pw = store.pt_pos[pid]
-            store.pt_pos[pid] = _sim3_apply_np(
-                _sim3_inverse_np(S_new), _sim3_apply_np(S_old, pw))
-            store.mark_dirty(pid)
+        # reference keyframe's correction (ref :991-1043), vectorized:
+        # p_new = S_new^-1 (S_old p) with S indexed by each point's
+        # reference keyframe (fallback: first observer).
+        pids = store.valid_pt_ids()
+        if len(pids) > 0:
+            idx_of = np.full(store.kf_cap, -1, np.int64)
+            for k, i in index.items():
+                idx_of[k] = i
+            refs = store.pt_ref_kf[pids].copy()
+            bad_ref = (refs < 0) | (idx_of[np.maximum(refs, 0)] < 0)
+            if bad_ref.any():
+                ridx, rkfs, _ = store.obs.dump(pids[bad_ref])
+                first = np.full(int(bad_ref.sum()), -1, np.int64)
+                # dump rows are grouped by pid: first row per pid index
+                first_rows = np.unique(ridx, return_index=True)[1]
+                first[ridx[first_rows]] = rkfs[first_rows]
+                refs[bad_ref] = first
+            ok = (refs >= 0) & (idx_of[np.maximum(refs, 0)] >= 0)
+            pids_ok = pids[ok]
+            i_pt = idx_of[refs[ok]]
+            # old poses of the reference KFs, stacked by vertex index
+            Ro = np.stack([store.kf_pose[k][:3, :3] for k in kfs])
+            to = np.stack([store.kf_pose[k][:3, 3] for k in kfs])
+            p = store.pt_pos[pids_ok]
+            p1 = np.einsum("pij,pj->pi", Ro[i_pt], p) + to[i_pt]
+            Rn, tn, sn = R_o[i_pt], t_o[i_pt], s_o[i_pt]
+            store.pt_pos[pids_ok] = (np.einsum(
+                "pji,pj->pi", Rn, p1 - tn) / sn[:, None]).astype(np.float32)
+            store.mark_dirty(pids_ok)
         for k, i in index.items():
             Tn = np.eye(4, dtype=np.float32)
             Tn[:3, :3] = R_o[i]

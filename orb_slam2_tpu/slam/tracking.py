@@ -120,6 +120,19 @@ class Tracker:
         self._chain = None            # device ChainState
         self._pending = None          # (TrackOut, meta dict)
 
+    def refresh_calibration(self):
+        """Rebuild every camera-dependent cache after a calibration
+        hot-swap (ref: Tracking::ChangeCalibration src/Tracking.cc:1553
+        sets Frame::mbInitialComputations; here the compiled fast/chained
+        steps close over intrinsics, so they are dropped and re-traced)."""
+        self.builder.refresh_calibration()
+        self.bounds = np.asarray(self.builder.bounds, np.float32)
+        self._bounds_dev = jnp.asarray(self.bounds)
+        self._fast_step = None
+        self._chain_step = None
+        self._chain = None
+        self._pending = None
+
     # ------------------------------------------------------------------
     # fused fast path: ONE compiled step + ONE sync per steady frame
     # ------------------------------------------------------------------

@@ -75,9 +75,16 @@ def _edge_residual_jacobians(prob: PoseGraphProblem):
     return r, Ji, Jj
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def optimize(prob: PoseGraphProblem, iters: int = 20):
-    """Returns optimized (R, t, s) per keyframe."""
+@functools.partial(jax.jit, static_argnames=("iters", "mode", "cg_iters"))
+def optimize(prob: PoseGraphProblem, iters: int = 20, mode: str = "dense",
+             cg_iters: int = 100):
+    """Returns optimized (R, t, s) per keyframe.
+
+    mode="dense" materializes the 7K x 7K normal matrix (one MXU solve,
+    right for the <= a-few-hundred-KF maps); mode="cg" runs block-Jacobi
+    preconditioned conjugate gradients with a matrix-free matvec over the
+    per-edge 7x7 blocks — O(E) memory, the path for 1000+ keyframe
+    essential graphs."""
     K = prob.R.shape[0]
 
     def total_error(R, t, s):
@@ -98,32 +105,38 @@ def optimize(prob: PoseGraphProblem, iters: int = 20):
         Jj = Jj * w * ~freeze[prob.edge_j][:, None, None]
         rw = r * p.emask.astype(r.dtype)[:, None]
 
-        # assemble dense (K, K, 7, 7) via flat scatter
+        # per-edge normal-equation blocks
         Hii = jnp.einsum("eai,eaj->eij", Ji, Ji)
         Hjj = jnp.einsum("eai,eaj->eij", Jj, Jj)
         Hij = jnp.einsum("eai,eaj->eij", Ji, Jj)
         gi = jnp.einsum("eai,ea->ei", Ji, rw)
         gj = jnp.einsum("eai,ea->ei", Jj, rw)
-
-        flat_ii = prob.edge_i * K + prob.edge_i
-        flat_jj = prob.edge_j * K + prob.edge_j
-        flat_ij = prob.edge_i * K + prob.edge_j
-        flat_ji = prob.edge_j * K + prob.edge_i
-        H = jnp.zeros((K * K, 7, 7), r.dtype)
-        H = H.at[flat_ii].add(Hii)
-        H = H.at[flat_jj].add(Hjj)
-        H = H.at[flat_ij].add(Hij)
-        H = H.at[flat_ji].add(Hij.transpose(0, 2, 1))
         g = jnp.zeros((K, 7), r.dtype)
         g = g.at[prob.edge_i].add(gi)
         g = g.at[prob.edge_j].add(gj)
 
-        H = H.reshape(K, K, 7, 7).transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
+        # block diagonal (shared by the dense path and the preconditioner)
+        Hdiag = jnp.zeros((K, 7, 7), r.dtype)
+        Hdiag = Hdiag.at[prob.edge_i].add(Hii)
+        Hdiag = Hdiag.at[prob.edge_j].add(Hjj)
         # Marquardt damping scaled by the diagonal keeps step sizes sane
         # across the mixed rotation/translation/scale parametrization.
-        diag = jnp.diagonal(H)
-        H = H + jnp.diag(lam * jnp.maximum(diag, 1e-6) + 1e-8)
-        dx = jnp.linalg.solve(H, -g.reshape(-1)).reshape(K, 7)
+        ddiag = jnp.diagonal(Hdiag, axis1=1, axis2=2)         # (K, 7)
+        damp = lam * jnp.maximum(ddiag, 1e-6) + 1e-8
+
+        if mode == "dense":
+            flat_ij = prob.edge_i * K + prob.edge_j
+            flat_ji = prob.edge_j * K + prob.edge_i
+            H = jnp.zeros((K * K, 7, 7), r.dtype)
+            H = H.at[flat_ij].add(Hij)
+            H = H.at[flat_ji].add(Hij.transpose(0, 2, 1))
+            H = H.reshape(K, K, 7, 7)
+            H = H.at[jnp.arange(K), jnp.arange(K)].add(Hdiag)
+            H = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
+            H = H + jnp.diag(damp.reshape(-1))
+            dx = jnp.linalg.solve(H, -g.reshape(-1)).reshape(K, 7)
+        else:
+            dx = _solve_pcg(prob, Hdiag, Hij, damp, -g, iters=cg_iters)
         dx = jnp.where(freeze[:, None], 0.0, dx)
 
         dS = sim3.exp(dx)
@@ -140,3 +153,46 @@ def optimize(prob: PoseGraphProblem, iters: int = 20):
     init = (prob.R, prob.t, prob.s, jnp.float32(1e-6))
     (R, t, s, _), _ = jax.lax.scan(lm_iter, init, None, length=iters)
     return R, t, s
+
+
+def _solve_pcg(prob, Hdiag, Hij, damp, b, iters: int = 100):
+    """Block-Jacobi PCG on the damped normal equations, matrix-free: the
+    matvec scatters per-edge off-diagonal 7x7 blocks with segment sums,
+    so memory is O(K + E) instead of O(K^2)."""
+    Hd = Hdiag + jax.vmap(jnp.diag)(damp)
+    Minv = jnp.linalg.inv(
+        Hd + 1e-6 * jnp.eye(7, dtype=Hd.dtype)[None]
+    )
+
+    def matvec(x):                                           # x: (K, 7)
+        y = jnp.einsum("kij,kj->ki", Hd, x)
+        xi = x[prob.edge_i]
+        xj = x[prob.edge_j]
+        y = y.at[prob.edge_i].add(jnp.einsum("eij,ej->ei", Hij, xj))
+        y = y.at[prob.edge_j].add(
+            jnp.einsum("eji,ej->ei", Hij, xi))
+        return y
+
+    def precond(r):
+        return jnp.einsum("kij,kj->ki", Minv, r)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+
+    def body(carry, _):
+        x, r, z, p = carry
+        Ap = matvec(p)
+        rz = jnp.sum(r * z)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        z_new = precond(r_new)
+        beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-20)
+        p = z_new + beta * p
+        return (x, r_new, z_new, p), None
+
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (x0, r0, z0, z0), None, length=iters
+    )
+    return x

@@ -173,6 +173,41 @@ class System:
             return np.zeros(0, np.int64)
         return f.bindings[f.bindings >= 0]
 
+    def get_tracked_keypoints_un(self) -> np.ndarray:
+        """Undistorted keypoints of the current frame, (N, 2) float32
+        (ref: System::GetTrackedKeyPointsUn src/System.cc:672-676)."""
+        f = self.tracker.current
+        if f is None:
+            return np.zeros((0, 2), np.float32)
+        return f.feats.xy[f.feats.valid]
+
+    def change_calibration(self, path: str):
+        """Hot-swap camera intrinsics/distortion/baseline from a settings
+        file (ref: Tracking::ChangeCalibration src/Tracking.cc:1553-1584;
+        the reference re-triggers Frame::mbInitialComputations — here the
+        camera-dependent compiled steps and undistortion state are
+        rebuilt)."""
+        from orb_slam2_tpu.config import _parse_opencv_yaml
+
+        with open(path, "r") as f:
+            d = _parse_opencv_yaml(f.read())
+        s = self.settings
+
+        def g(key, cur):
+            return float(d.get(key, cur))
+
+        s.fx = g("Camera.fx", s.fx)
+        s.fy = g("Camera.fy", s.fy)
+        s.cx = g("Camera.cx", s.cx)
+        s.cy = g("Camera.cy", s.cy)
+        s.k1 = g("Camera.k1", 0.0)
+        s.k2 = g("Camera.k2", 0.0)
+        s.p1 = g("Camera.p1", 0.0)
+        s.p2 = g("Camera.p2", 0.0)
+        s.k3 = g("Camera.k3", 0.0)
+        s.bf = g("Camera.bf", s.bf)
+        self.tracker.refresh_calibration()
+
     # ------------------------------------------------------------------
     # savers (ref: src/System.cc:326-653)
     # ------------------------------------------------------------------
@@ -189,6 +224,12 @@ class System:
         self.store.export_points_obj(path)
 
     def save_map_with_timestamps(self, path: str):
+        self.store.export_points_with_timestamps(path)
+
+    def save_map_with_pose(self, path: str):
+        """Fork feature (ref: Map::SaveWithPose src/Map.cc:169-186 — its
+        body is identical to SaveWithTimestamps: point position followed
+        by observing-keyframe timestamps)."""
         self.store.export_points_with_timestamps(path)
 
     def save_grid_map_tum(self, path: str):

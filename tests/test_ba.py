@@ -270,6 +270,57 @@ class TestPoseGraph:
         assert err_init > 1.0
         assert err < 5e-3, (err_init, err)
 
+    def test_cg_mode_matches_dense(self):
+        """Matrix-free PCG essential-graph solve converges to the same
+        solution as the dense 7Kx7K path (large-map mode)."""
+        K = 40
+        th = 2 * np.pi * np.arange(K) / K
+        Cs = np.stack([6 * np.cos(th), 6 * np.sin(th), np.zeros(K)], -1)
+        Rw = Rotation.from_euler("z", th[:, None]).as_matrix()
+        R_true = Rw.transpose(0, 2, 1).astype(np.float32)
+        t_true = -np.einsum("kij,kj->ki", R_true, Cs).astype(np.float32)
+        # drift the initial estimates
+        R_est, t_est = R_true.copy(), t_true.copy()
+        accR, acct = np.eye(3), np.zeros(3)
+        dR = Rotation.from_euler("z", 0.012).as_matrix()
+        for k in range(K):
+            R_est[k] = R_true[k] @ accR.T
+            t_est[k] = t_true[k] - R_true[k] @ accR.T @ acct
+            accR = accR @ dR
+            acct = acct + np.array([0.02, 0.01, 0.0])
+
+        def rel(i, j):
+            Rr = R_true[j] @ R_true[i].T
+            return Rr, t_true[j] - Rr @ t_true[i]
+
+        # ring + a few chords (covisibility-style extra edges)
+        pairs = [(k, (k + 1) % K) for k in range(K)]
+        pairs += [(k, (k + 5) % K) for k in range(0, K, 4)]
+        E = len(pairs)
+        prob = pose_graph.PoseGraphProblem(
+            R=jnp.asarray(R_est), t=jnp.asarray(t_est),
+            s=jnp.ones(K, jnp.float32),
+            fixed=jnp.asarray(np.arange(K) == 0), vmask=jnp.ones(K, bool),
+            edge_i=jnp.asarray(np.array([p[0] for p in pairs], np.int32)),
+            edge_j=jnp.asarray(np.array([p[1] for p in pairs], np.int32)),
+            meas_R=jnp.asarray(np.stack(
+                [rel(*p)[0] for p in pairs]).astype(np.float32)),
+            meas_t=jnp.asarray(np.stack(
+                [rel(*p)[1] for p in pairs]).astype(np.float32)),
+            meas_s=jnp.ones(E, jnp.float32), emask=jnp.ones(E, bool),
+        )
+        Rd, td, sd = pose_graph.optimize(prob, iters=20, mode="dense")
+        Rc, tc, sc = pose_graph.optimize(prob, iters=20, mode="cg")
+
+        def centers(R, t, s):
+            return -np.einsum("kji,kj->ki", np.asarray(R),
+                              np.asarray(t)) / np.asarray(s)[:, None]
+
+        err_d = np.linalg.norm(centers(Rd, td, sd) - Cs, axis=1).max()
+        err_c = np.linalg.norm(centers(Rc, tc, sc) - Cs, axis=1).max()
+        assert err_d < 5e-3, err_d
+        assert err_c < 5e-3, err_c
+
     def test_scale_drift_correction(self):
         """Monocular-style scale drift absorbed by Sim3 vertices."""
         rng = np.random.default_rng(7)
