@@ -25,17 +25,28 @@ def distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x, axis=-1).astype(jnp.int32)
 
 
+def unpack_bits(a: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) uint32 packed descriptors -> (N, 256) int8 bit vectors."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (a[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(a.shape[0], 256).astype(jnp.int8)
+
+
 def distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(N, 8) x (M, 8) uint32 -> (N, M) int32 distance matrix.
 
-    Accumulates lane by lane to avoid materializing an (N, M, 8) tensor.
+    MXU formulation: Hamming(a, b) = pop(a) + pop(b) - 2 <bits_a, bits_b>,
+    so the (N, M) matrix is one int8 matmul on the systolic array instead
+    of 8 XOR+popcount lanes on the VPU.  Bit-exact vs the packed path.
     """
-    n, m = a.shape[0], b.shape[0]
-    acc = jnp.zeros((n, m), jnp.int32)
-    for lane in range(8):
-        x = jnp.bitwise_xor(a[:, lane][:, None], b[:, lane][None, :])
-        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
-    return acc
+    pa = jnp.sum(jax.lax.population_count(a), -1).astype(jnp.int32)
+    pb = jnp.sum(jax.lax.population_count(b), -1).astype(jnp.int32)
+    inner = jax.lax.dot_general(
+        unpack_bits(a), unpack_bits(b),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return pa[:, None] + pb[None, :] - 2 * inner
 
 
 def masked_argmin(

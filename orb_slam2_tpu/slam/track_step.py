@@ -71,7 +71,30 @@ def _octave_compat(last_oct, feat_oct, fwd, bwd):
     return jnp.where(fwd, fo >= lo, jnp.where(bwd, fo <= lo, band))
 
 
+def _step_cache_key(s, sensor_stereo: bool):
+    """Every settings field the compiled step closes over."""
+    return (float(s.fx), float(s.fy), float(s.cx), float(s.cy),
+            float(s.bf), int(s.n_features), int(s.n_levels),
+            float(s.scale_factor), int(s.ini_th_fast), int(s.min_th_fast),
+            int(s.width), int(s.height), bool(sensor_stereo))
+
+
+_STEP_CACHE = {}
+
+
 def build_track_step(settings, sensor_stereo: bool):
+    """Memoized on the settings values: a fresh System/Tracker with the
+    same configuration reuses the already-traced (and XLA-compiled) step
+    instead of re-tracing a new jit wrapper.  (The axon tunnel does not
+    serve JAX's persistent compile cache, so without this every System
+    instance pays the full 9-40s compile again.)"""
+    key = ("fast",) + _step_cache_key(settings, sensor_stereo)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = _build_track_step(settings, sensor_stereo)
+    return _STEP_CACHE[key]
+
+
+def _build_track_step(settings, sensor_stereo: bool):
     """Returns a jitted step(img_l, img_r, T_pred, last block, local block,
     fwd, bwd) -> TrackOut closure for fixed shapes."""
     s = settings
@@ -355,6 +378,15 @@ class ChainState(NamedTuple):
 
 
 def build_track_step_chained(settings, sensor_stereo: bool):
+    """Memoized like build_track_step (same rationale)."""
+    key = ("chain",) + _step_cache_key(settings, sensor_stereo)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = _build_track_step_chained(
+            settings, sensor_stereo)
+    return _STEP_CACHE[key]
+
+
+def _build_track_step_chained(settings, sensor_stereo: bool):
     """Returns step(img_l, img_r, chain, mir_f32, mir_desc, cand_pids,
     scal) -> (TrackOut, ChainState)."""
     s = settings

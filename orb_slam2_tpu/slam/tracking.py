@@ -160,6 +160,7 @@ class Tracker:
         store = self.store
         last = self.last_frame
         store.lock.acquire()
+        _t_prep = self.timers("fast/prep").__enter__()
         self._replace_updated_points(last)
         self._update_last_frame()
         T_pred = (self.velocity @ last.Tcw).astype(np.float32)
@@ -201,23 +202,26 @@ class Tracker:
             [last_pts, has[:, None].astype(np.float32)], 1)
 
         store.lock.release()
+        _t_prep.__exit__()
         step = self._get_fast_step()
-        img_l_d = self.builder._upload(img_l)
-        img_r_d = (self.builder._upload(img_r)
-                   if img_r is not None else img_l_d)
-        out = step(
-            img_l_d, img_r_d, jnp.asarray(scal),
-            jnp.asarray(last_f32), jnp.asarray(last_desc),
-            last.feats.device("octave"), last.feats.device("angle"),
-            jnp.asarray(loc_f32), jnp.asarray(loc_desc),
-        )
+        with self.timers("fast/dispatch"):
+            img_l_d = self.builder._upload(img_l)
+            img_r_d = (self.builder._upload(img_r)
+                       if img_r is not None else img_l_d)
+            out = step(
+                img_l_d, img_r_d, jnp.asarray(scal),
+                jnp.asarray(last_f32), jnp.asarray(last_desc),
+                last.feats.device("octave"), last.feats.device("angle"),
+                jnp.asarray(loc_f32), jnp.asarray(loc_desc),
+            )
+            out.f32_pack.copy_to_host_async()  # overlap pull w/ host prep
         from orb_slam2_tpu.ops.frontend import padded_total
 
-        out.f32_pack.copy_to_host_async()   # overlap pull with host prep
         n_feat = padded_total(
             self.s.n_features, self.s.n_levels, self.s.scale_factor
         )
-        res, desc_np = ts.unpack_track_out(out, n_feat, M)
+        with self.timers("fast/pull"):
+            res, desc_np = ts.unpack_track_out(out, n_feat, M)
 
         # build the Frame from the step outputs (no second extraction)
         ff = FrameFeatures(
@@ -252,8 +256,9 @@ class Tracker:
 
         store.lock.acquire()
         try:
-            return self._apply_fast_result(frame, last, res, cand,
-                                           last_pids, bindings)
+            with self.timers("fast/apply"):
+                return self._apply_fast_result(frame, last, res, cand,
+                                               last_pids, bindings)
         finally:
             store.lock.release()
 
@@ -306,6 +311,8 @@ class Tracker:
             self.state = State.LOST
 
         if frame.Tcw is not None and self.ref_kf >= 0:
+            # sync frame.ref_kf with the stored Tcr (see _track's append)
+            frame.ref_kf = self.ref_kf
             Trw = store.kf_pose[self.ref_kf]
             self.trajectory.append(TrajectoryEntry(
                 frame.Tcw @ np.linalg.inv(Trw), self.ref_kf,
@@ -396,8 +403,11 @@ class Tracker:
         # The chain's poses still ride the map frame from dispatch time;
         # point data comes fresh from the device mirror.  Re-anchor the
         # chain from host state occasionally and after keyframes (BA).
+        # re-anchor every other frame: one chained (blind) frame between
+        # host anchors bounds velocity-chain drift to a single frame while
+        # still hiding the pull RTT on half the frames
         self._chain_age = getattr(self, "_chain_age", 0) + 1
-        refresh = (self._chain is None or self._chain_age >= 4
+        refresh = (self._chain is None or self._chain_age >= 2
                    or getattr(self, "_chain_dirty", 0) > 0)
         pose_pre = None
         if refresh:
@@ -428,7 +438,14 @@ class Tracker:
             M = self._buckets("local", max(len(cand), 1))
             cand_pids = np.full(M, -1, np.int32)
             cand_pids[: len(cand)] = cand
-            dmap.flush()
+            # flush the mirror ONLY when the chain was just re-anchored:
+            # between refreshes the in-flight chain pose rides the
+            # pre-BA map frame, and scattering BA-moved points under it
+            # makes the blind frame solve against inconsistent geometry
+            # (pose vs points from different gauge) — the source of the
+            # 0.3-1.5m pipelined pose jumps around keyframes.
+            if refresh:
+                dmap.flush()
         th_local = 3.0 if self.sensor == Sensor.RGBD else 1.0
         scal = np.array([th_local, 0.0], np.float32)
 
@@ -455,6 +472,10 @@ class Tracker:
             if self.last_kf_frame_id == self.last_frame.frame_id:
                 # KF/BA ran: serialize the next two frames so tracking
                 # re-anchors to the updated map before pipelining resumes
+                self._chain_dirty = 2
+            elif self.n_inliers < 60:
+                # weak tracking: the chain in flight extends a shaky pose;
+                # force a host re-anchor before it can corrupt the map
                 self._chain_dirty = 2
         self._pending = (out, meta)
         self._chain = new_chain
@@ -600,6 +621,11 @@ class Tracker:
             self.state = State.LOST
 
         if frame.Tcw is not None and self.ref_kf >= 0:
+            # keep the frame's reference in lockstep with the stored Tcr:
+            # UpdateLastFrame recomposes Tcr @ kf_pose[frame.ref_kf], so a
+            # stale frame.ref_kf silently shifts the pose by the KF gap
+            # (ref: Tracking.cc:775-780 sets mpReferenceKF before storing)
+            frame.ref_kf = self.ref_kf
             Trw = self.store.kf_pose[self.ref_kf]
             Tcr = frame.Tcw @ np.linalg.inv(Trw)
             self.trajectory.append(
@@ -987,11 +1013,18 @@ class Tracker:
         refresh last-frame pose from its reference KF; in localization
         mode create temporal VO points from close stereo depth."""
         last = self.last_frame
-        if self.trajectory and last.ref_kf >= 0:
-            Tlr = self.trajectory[-1].Tcr
-            last.Tcw = (Tlr @ self.store.kf_pose[last.ref_kf]).astype(
-                np.float32
-            )
+        if self.trajectory:
+            entry = self.trajectory[-1]
+            # recompose against the entry's OWN reference (it may differ
+            # from last.ref_kf if the local-map refresh moved the
+            # reference after the frame was built), and only when the
+            # entry actually belongs to the last frame
+            if (entry.ref_kf >= 0 and self.store.kf_valid[entry.ref_kf]
+                    and entry.timestamp == last.timestamp):
+                last.Tcw = (entry.Tcr
+                            @ self.store.kf_pose[entry.ref_kf]).astype(
+                    np.float32
+                )
         if (not self.only_tracking or self.sensor == Sensor.MONOCULAR
                 or last.frame_id == self.last_kf_frame_id):
             return
