@@ -278,6 +278,7 @@ class Tracker:
             n_map = int(np.sum(store.pt_n_obs[inl_ids] >= 1))
             self.n_inliers = n_map
             ok = n_map >= 30
+        self._fallback_used = not ok
         if not ok:
             # fall back to the modular path (reference-KF tracking)
             self._assign_frame_bow(frame)
@@ -473,9 +474,12 @@ class Tracker:
                 # KF/BA ran: serialize the next two frames so tracking
                 # re-anchors to the updated map before pipelining resumes
                 self._chain_dirty = 2
-            elif self.n_inliers < 60:
-                # weak tracking: the chain in flight extends a shaky pose;
-                # force a host re-anchor before it can corrupt the map
+            elif self.n_inliers < 60 or getattr(
+                    self, "_fallback_used", False):
+                # weak tracking, or the host DISCARDED the device pose via
+                # the modular fallback: the chain in flight extends a pose
+                # the host rejected — force a re-anchor before it can
+                # corrupt the map
                 self._chain_dirty = 2
         self._pending = (out, meta)
         self._chain = new_chain

@@ -121,6 +121,49 @@ class TestRGBDPipeline:
         assert err < 0.06
 
 
+class TestPipelinedMode:
+    def test_pipelined_tracks_close_to_sequential(self):
+        """Frame-pipelined (chained device state) tracking must stay
+        within a small factor of sequential accuracy on a moderate
+        trajectory (regression: velocity-chain drift + ref-KF mismatch
+        made it diverge by metres)."""
+        settings = make_settings()
+        poses = straight_trajectory(14, step=0.03, yaw_step=0.002)
+        scene, pairs = stereo_sequence(settings.K, H, W, BASELINE, poses)
+
+        def run(pipelined):
+            s = make_settings()
+            s.pipelined = pipelined
+            sys_ = System(s, Sensor.STEREO)
+            applied = {}
+            for i, (l, r) in enumerate(pairs):
+                sys_.track_stereo(l, r, i * 0.1)
+                lf = sys_.tracker.last_frame
+                if lf is not None and lf.Tcw is not None:
+                    applied[round(lf.timestamp / 0.1)] = lf.Tcw.copy()
+            sys_.tracker._flush_pipeline()
+            lf = sys_.tracker.last_frame
+            if lf is not None and lf.Tcw is not None:
+                applied[round(lf.timestamp / 0.1)] = lf.Tcw.copy()
+            return applied
+
+        seq = run(False)
+        pipe = run(True)
+        T0 = poses[0]
+
+        def err(T, i):
+            Tg = poses[i] @ np.linalg.inv(T0)
+            return np.linalg.norm(center_of(T) - center_of(Tg))
+
+        e_seq = [err(T, i) for i, T in seq.items()]
+        e_pipe = [err(T, i) for i, T in pipe.items()]
+        assert len(e_pipe) >= len(pairs) - 2
+        # pipelined max error bounded: no metre-scale divergence, and
+        # within 3x + 1cm of the sequential worst case
+        assert max(e_pipe) < max(max(e_seq) * 3.0 + 0.01, 0.05), (
+            max(e_seq), max(e_pipe))
+
+
 class TestMapStore:
     def _store(self):
         from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
