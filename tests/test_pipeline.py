@@ -121,6 +121,98 @@ class TestRGBDPipeline:
         assert err < 0.06
 
 
+class TestLocalizationMode:
+    def test_localization_tracks_without_new_keyframes(self):
+        """ref: System::ActivateLocalizationMode (src/System.cc:126-135) +
+        Tracking's mbOnlyTracking branch: map frozen, tracking continues,
+        no keyframes added."""
+        settings = make_settings()
+        poses = straight_trajectory(14, step=0.03, yaw_step=0.002)
+        scene, pairs = stereo_sequence(settings.K, H, W, BASELINE, poses)
+        sys_ = System(settings, Sensor.STEREO)
+        for i, (l, r) in enumerate(pairs[:9]):
+            sys_.track_stereo(l, r, i * 0.1)
+        n_kf = int(sys_.map.kf_valid.sum())
+        n_pt = int(sys_.map.pt_valid.sum())
+        sys_.activate_localization_mode()
+        est = []
+        for i, (l, r) in enumerate(pairs[9:], start=9):
+            T = sys_.track_stereo(l, r, i * 0.1)
+            est.append((i, T))
+        assert int(sys_.map.kf_valid.sum()) == n_kf       # map frozen
+        assert sys_.tracking_state().name == "OK"
+        T0 = poses[0]
+        for i, T in est:
+            assert T is not None
+            Tg = poses[i] @ np.linalg.inv(T0)
+            assert np.linalg.norm(center_of(T) - center_of(Tg)) < 0.1
+        sys_.deactivate_localization_mode()
+        for i, (l, r) in enumerate(pairs[9:], start=9):
+            sys_.track_stereo(l, r, (5 + i) * 0.1)
+        # mapping resumed: temporal VO points cleaned, KFs can grow again
+        assert not sys_.tracker.only_tracking
+
+
+class TestRectification:
+    def test_identity_rectification_roundtrip(self):
+        """rectify_maps + remap with R=I, P=K, D=0 must be the identity
+        (sanity for the EuRoC stereo path, ref: stereo_euroc.cc:97-137)."""
+        import jax.numpy as jnp
+
+        from orb_slam2_tpu.config import RectificationParams
+        from orb_slam2_tpu.geometry import camera as cam
+
+        K = np.array([[FX, 0, W / 2], [0, FY, H / 2], [0, 0, 1]], np.float64)
+        rect = RectificationParams(
+            K_l=K, K_r=K, D_l=np.zeros(5), D_r=np.zeros(5),
+            R_l=np.eye(3), R_r=np.eye(3),
+            P_l=np.hstack([K, np.zeros((3, 1))]),
+            P_r=np.hstack([K, np.zeros((3, 1))]),
+            width=W, height=H,
+        )
+        (mxl, myl), (mxr, myr) = cam.rectify_maps(rect)
+        gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        np.testing.assert_allclose(mxl, gx, atol=1e-3)
+        np.testing.assert_allclose(myl, gy, atol=1e-3)
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (H, W)).astype(np.float32)
+        out = np.asarray(cam.remap_bilinear(
+            jnp.asarray(img), jnp.asarray(mxl), jnp.asarray(myl)))
+        np.testing.assert_allclose(out, img, atol=0.5)
+
+    def test_distorted_rectification_straightens_rows(self):
+        """A radially distorted stereo rig: after rectification a world
+        point must land on the same row in both images (epipolar
+        alignment) for points across the field of view."""
+        import cv2
+
+        from orb_slam2_tpu.config import RectificationParams
+        from orb_slam2_tpu.geometry import camera as cam
+
+        h, w = 240, 320
+        K = np.array([[260.0, 0, w / 2], [0, 260.0, h / 2], [0, 0, 1]])
+        D = np.array([-0.28, 0.07, 0.0002, 0.00002, 0.0])
+        # slight relative rotation between the cameras
+        R_rel, _ = cv2.Rodrigues(np.array([0.004, -0.01, 0.002]))
+        T_rel = np.array([-0.11, 0.0005, 0.001]).reshape(3, 1)
+        R1, R2, P1, P2, Q, _, _ = cv2.stereoRectify(
+            K, D, K, D, (w, h), R_rel, T_rel, alpha=0)
+        rect = RectificationParams(
+            K_l=K, K_r=K, D_l=D, D_r=D, R_l=R1, R_r=R2,
+            P_l=P1, P_r=P2, width=w, height=h)
+        (mxl, myl), (mxr, myr) = cam.rectify_maps(rect)
+        # golden maps from OpenCV
+        gxl, gyl = cv2.initUndistortRectifyMap(
+            K, D, R1, P1, (w, h), cv2.CV_32FC1)
+        gxr, gyr = cv2.initUndistortRectifyMap(
+            K, D, R2, P2, (w, h), cv2.CV_32FC1)
+        np.testing.assert_allclose(mxl, gxl, atol=0.05)
+        np.testing.assert_allclose(myl, gyl, atol=0.05)
+        np.testing.assert_allclose(mxr, gxr, atol=0.05)
+        np.testing.assert_allclose(myr, gyr, atol=0.05)
+
+
 class TestPipelinedMode:
     def test_pipelined_tracks_close_to_sequential(self):
         """Frame-pipelined (chained device state) tracking must stay
