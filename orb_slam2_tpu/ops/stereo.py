@@ -79,23 +79,7 @@ def match(
     xl = jnp.clip(xy_l[:, 0].astype(jnp.int32), _W + _L, w0 - 1 - _W - _L)
     xr = jnp.clip(uR0.astype(jnp.int32), _W + _L, w0 - 1 - _W - _L)
 
-    dy = jnp.arange(-_W, _W + 1)
-    dxl = jnp.arange(-_W, _W + 1)
-    rows = yc[:, None] + dy[None, :]                       # (N, 11)
-    patch_l = level0_l[rows[:, :, None], (xl[:, None] + dxl[None, :])[:, None, :]]
-    # right strip covers the 11px window plus the +/-5 search
-    dxr = jnp.arange(-_W - _L, _W + _L + 1)                # (21,)
-    strip_r = level0_r[rows[:, :, None], (xr[:, None] + dxr[None, :])[:, None, :]]
-
-    # center-normalized like the reference (IL - IL(center), ref Frame.cc:566)
-    cl = patch_l[:, _W, _W][:, None, None]
-    patch_l_n = patch_l - cl
-    sads = []
-    for s in range(2 * _L + 1):
-        win = strip_r[:, :, s : s + 2 * _W + 1]
-        cr = win[:, _W, _W][:, None, None]
-        sads.append(jnp.sum(jnp.abs(patch_l_n - (win - cr)), axis=(1, 2)))
-    sad = jnp.stack(sads, 1)                               # (N, 11)
+    sad = _sad_search(level0_l, level0_r, yc, xl, xr)      # (N, 11)
 
     best_s = jnp.argmin(sad, axis=1)
     best_sad = jnp.min(sad, axis=1)
@@ -120,6 +104,46 @@ def match(
     u_right_out = jnp.where(good, u_right, -1.0)
     sad_out = jnp.where(good, best_sad, jnp.inf)
     return StereoMatches(u_right_out, depth, sad_out)
+
+
+def _sad_search(level0_l, level0_r, yc, xl, xr) -> jnp.ndarray:
+    """11 center-normalized SAD scores per keypoint: Pallas kernel on
+    TPU (random gathers are slow there), XLA gathers elsewhere."""
+    from orb_slam2_tpu.ops.frontend import _use_pallas
+
+    n = yc.shape[0]
+    if _use_pallas():
+        from orb_slam2_tpu.ops import orb_pallas, stereo_pallas
+
+        pad = (-n) % stereo_pallas.KP_PER_PROGRAM
+        if pad:
+            yc = jnp.concatenate([yc, jnp.full(pad, _W, yc.dtype)])
+            xl = jnp.concatenate([xl, jnp.full(pad, _W + _L, xl.dtype)])
+            xr = jnp.concatenate([xr, jnp.full(pad, _W + _L, xr.dtype)])
+        sad = stereo_pallas.sad_strips(
+            orb_pallas.pad_for_kernel(level0_l),
+            orb_pallas.pad_for_kernel(level0_r), yc, xl, xr)
+        return sad[:n]
+
+    dy = jnp.arange(-_W, _W + 1)
+    dxl = jnp.arange(-_W, _W + 1)
+    rows = yc[:, None] + dy[None, :]                       # (N, 11)
+    patch_l = level0_l[rows[:, :, None],
+                       (xl[:, None] + dxl[None, :])[:, None, :]]
+    # right strip covers the 11px window plus the +/-5 search
+    dxr = jnp.arange(-_W - _L, _W + _L + 1)                # (21,)
+    strip_r = level0_r[rows[:, :, None],
+                       (xr[:, None] + dxr[None, :])[:, None, :]]
+
+    # center-normalized like the reference (IL - IL(center), Frame.cc:566)
+    cl = patch_l[:, _W, _W][:, None, None]
+    patch_l_n = patch_l - cl
+    sads = []
+    for s in range(2 * _L + 1):
+        win = strip_r[:, :, s : s + 2 * _W + 1]
+        cr = win[:, _W, _W][:, None, None]
+        sads.append(jnp.sum(jnp.abs(patch_l_n - (win - cr)), axis=(1, 2)))
+    return jnp.stack(sads, 1)                              # (N, 11)
 
 
 def median_sad_filter(m: StereoMatches) -> StereoMatches:

@@ -255,3 +255,43 @@ class TestExtract:
         dd, _ = tree.query(xy0, k=1)
         interior = (xy0[:, 0] > 30) & (xy0[:, 0] < img.shape[1] - 30)
         assert (dd[interior] < 1.5).mean() > 0.6
+
+
+class TestStereoPallasKernel:
+    def test_sad_kernel_matches_xla(self):
+        """stereo_pallas.sad_strips == the XLA gather formulation
+        (skipped off-TPU; the kernel needs the Mosaic backend)."""
+        import pytest
+
+        from orb_slam2_tpu.ops.frontend import _use_pallas
+
+        if not _use_pallas():
+            pytest.skip("pallas TPU kernel requires a TPU backend")
+        import jax.numpy as jnp
+
+        from orb_slam2_tpu.ops import orb_pallas, stereo, stereo_pallas
+
+        H, W = 128, 384
+        rng = np.random.default_rng(3)
+        il = rng.uniform(0, 255, (H, W)).astype(np.float32)
+        ir = rng.uniform(0, 255, (H, W)).astype(np.float32)
+        N = 64
+        lo = stereo._W + stereo._L
+        yc = rng.integers(stereo._W, H - stereo._W, N).astype(np.int32)
+        xl = rng.integers(lo, W - lo - 1, N).astype(np.int32)
+        xr = rng.integers(lo, W - lo - 1, N).astype(np.int32)
+        out = np.asarray(stereo_pallas.sad_strips(
+            orb_pallas.pad_for_kernel(jnp.asarray(il)),
+            orb_pallas.pad_for_kernel(jnp.asarray(ir)),
+            jnp.asarray(yc), jnp.asarray(xl), jnp.asarray(xr)))
+
+        dy = np.arange(-stereo._W, stereo._W + 1)
+        ref = np.empty((N, 11), np.float32)
+        for i in range(N):
+            pl_ = il[yc[i] + dy[:, None], xl[i] + dy[None, :]]
+            pn = pl_ - pl_[5, 5]
+            for s in range(11):
+                wr = ir[yc[i] + dy[:, None],
+                        xr[i] - 10 + s + (dy + 5)[None, :]]
+                ref[i, s] = np.abs(pn - (wr - wr[5, 5])).sum()
+        np.testing.assert_allclose(out, ref, atol=0.05)
