@@ -102,6 +102,30 @@ def ate_rmse(est: np.ndarray, gt: np.ndarray) -> float:
     return float(np.sqrt((err ** 2).sum(-1).mean()))
 
 
+def rpe_rmse(est_T: np.ndarray, gt_T: np.ndarray,
+             delta: int = 1) -> tuple:
+    """Relative pose error over a fixed frame delta (TUM benchmark's
+    evaluate_rpe.py metric the reference README points users at).
+
+    est_T, gt_T: (N, 4, 4) matched Tcw poses.  Returns
+    (trans_rmse, rot_rmse_rad)."""
+    n = len(est_T)
+    if n <= delta:
+        return 0.0, 0.0
+    t_errs, r_errs = [], []
+    for i in range(n - delta):
+        de = est_T[i + delta] @ np.linalg.inv(est_T[i])
+        dg = gt_T[i + delta] @ np.linalg.inv(gt_T[i])
+        e = np.linalg.inv(dg) @ de
+        t_errs.append(np.linalg.norm(e[:3, 3]))
+        c = np.clip((np.trace(e[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+        r_errs.append(np.arccos(c))
+    t_errs = np.array(t_errs)
+    r_errs = np.array(r_errs)
+    return (float(np.sqrt((t_errs ** 2).mean())),
+            float(np.sqrt((r_errs ** 2).mean())))
+
+
 def ate_rmse_scaled(est: np.ndarray, gt: np.ndarray) -> float:
     """Sim(3)-aligned ATE for monocular (scale ambiguity)."""
     mu_e = est.mean(0)

@@ -228,6 +228,12 @@ class LocalMapper:
         """Project `pids` into `target_kf`; merge duplicates / add missing
         observations (device Fuse + host replace, ref ORBmatcher::Fuse
         src/ORBmatcher.cc:825-975)."""
+        d = self._fuse_into_kf_dispatch(target_kf, pids)
+        return self._fuse_into_kf_apply(target_kf, d)
+
+    def _fuse_into_kf_dispatch(self, target_kf: int, pids: np.ndarray):
+        """Device half of _fuse_into_kf: returns (pids, FuseMatches) or
+        None, WITHOUT pulling — so multiple fusions can fly together."""
         store = self.store
         pids = pids[store.pt_valid[pids]]
         # skip points already observed by the target
@@ -236,7 +242,7 @@ class LocalMapper:
         pids = np.array([p for p in pids if int(p) not in seen_set],
                         np.int64)
         if len(pids) == 0:
-            return 0
+            return None
         M = self._buckets("fuse", len(pids))
         mask = pad_rows(np.ones(len(pids), bool), M, False)
         fm = matching.fuse_points(
@@ -258,6 +264,14 @@ class LocalMapper:
             self._bounds_dev, self._sf_dev, self._ls2_dev,
             self.log_scale, self.s.n_levels,
         )
+        return pids, fm
+
+    def _fuse_into_kf_apply(self, target_kf: int, dispatched) -> int:
+        """Host half of _fuse_into_kf: pull + merge."""
+        if dispatched is None:
+            return 0
+        pids, fm = dispatched
+        store = self.store
         ok = np.asarray(fm.ok)[: len(pids)]
         idx = np.asarray(fm.idx)[: len(pids)]
         n_fused = 0
@@ -281,10 +295,15 @@ class LocalMapper:
     def _fuse_into_kfs_batch(self, targets, pids: np.ndarray):
         """Forward fusion of the current keyframe's points into ALL
         neighbor keyframes with one batched device call."""
+        self._fuse_into_kfs_batch_apply(
+            targets, self._fuse_into_kfs_batch_dispatch(targets, pids))
+
+    def _fuse_into_kfs_batch_dispatch(self, targets, pids: np.ndarray):
+        """Device half: batched Fuse dispatch, no pull."""
         store = self.store
         pids = pids[store.pt_valid[pids]]
         if len(pids) == 0 or not targets:
-            return
+            return None
         M = self._buckets("fuse", len(pids))
         B = self._buckets("nb", len(targets))
         mask = pad_rows(np.ones(len(pids), bool), M, False)
@@ -316,6 +335,13 @@ class LocalMapper:
             self._bounds_dev, self._sf_dev, self._ls2_dev,
             self.log_scale, self.s.n_levels,
         )
+        return pids, packed, B, M
+
+    def _fuse_into_kfs_batch_apply(self, targets, dispatched):
+        if dispatched is None:
+            return
+        pids, packed, B, M = dispatched
+        store = self.store
         idx_b, ok_b = matching.unpack_fuse_batch(packed, B, M)
         for bi, t in enumerate(targets):
             for row in np.nonzero(ok_b[bi][: len(pids)])[0]:

@@ -299,6 +299,11 @@ def optimize(
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         return (cam_T, pts, lam), err_new
 
+    # NOTE: fixed-length scan, deliberately NOT an early-exit while_loop:
+    # LM can accept a near-zero-improvement step early (lambda still
+    # adapting) and then make large progress once the trust region grows;
+    # first-tiny-improvement stopping measurably degraded post-loop GBA
+    # (ATE 0.73 -> 0.95 on the loop_ate circuit).
     (cam_T, pts, _), errs = jax.lax.scan(
         lm_iter, (prob.cam_T, prob.pts, jnp.float32(1e-3)), None, length=iters
     )

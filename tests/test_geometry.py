@@ -201,3 +201,35 @@ class TestCamera:
         ys, xs = np.mgrid[0:48, 0:64].astype(np.float32)
         out = np.asarray(camera.remap_bilinear(img, jnp.asarray(xs), jnp.asarray(ys)))
         np.testing.assert_allclose(out, np.asarray(img), atol=1e-4)
+
+
+class TestTrajectoryMetrics:
+    def test_ate_invariant_to_rigid_motion(self):
+        from scipy.spatial.transform import Rotation
+
+        from orb_slam2_tpu.io.trajectory import ate_rmse
+
+        rng = np.random.default_rng(0)
+        gt = rng.normal(0, 3, (40, 3))
+        R = Rotation.from_euler("xyz", [0.3, -0.2, 0.9]).as_matrix()
+        est = gt @ R.T + np.array([4.0, -2.0, 1.0])
+        assert ate_rmse(est, gt) < 1e-6
+        noisy = est + rng.normal(0, 0.05, est.shape)
+        e = ate_rmse(noisy, gt)
+        assert 0.02 < e < 0.12
+
+    def test_rpe_zero_for_identical_and_drift_sensitive(self):
+        from orb_slam2_tpu.io.trajectory import rpe_rmse
+
+        n = 30
+        T = np.tile(np.eye(4), (n, 1, 1))
+        for i in range(n):
+            T[i, 0, 3] = 0.1 * i
+        t_e, r_e = rpe_rmse(T, T, delta=1)
+        assert t_e < 1e-9 and r_e < 1e-6
+        # per-frame drift of 1 mm -> RPE ~ 1 mm
+        est = T.copy()
+        for i in range(n):
+            est[i, 0, 3] += 0.001 * i
+        t_e, r_e = rpe_rmse(est, T, delta=1)
+        assert abs(t_e - 0.001) < 1e-4
