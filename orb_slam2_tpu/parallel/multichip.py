@@ -73,6 +73,42 @@ def extract_batch_sharded(
 
 
 # ---------------------------------------------------------------------------
+# frame-parallel FULL tracking step (multi-camera rig / multi-session
+# mapping): the complete fused per-frame program — frontend, motion-model
+# matching, pose LM, local-map matching, second pose LM — vmapped over a
+# batch of frames and sharded one frame per device.
+# ---------------------------------------------------------------------------
+
+def track_step_sharded(mesh: Mesh, settings, imgs_l, imgs_r,
+                       scal, last_f32, last_desc, last_oct, last_ang,
+                       loc_f32, loc_desc):
+    """Run the full fused track step for B frames sharded over the mesh.
+
+    imgs_l/imgs_r: (B, H, W); every other argument is the single-frame
+    step's input with a leading B axis (see slam/track_step.py::step).
+    Returns the packed f32 outputs (B, ...) sharded the same way.
+    """
+    from orb_slam2_tpu.slam import track_step as ts
+
+    step = ts.build_track_step(settings, sensor_stereo=True)
+
+    s3 = NamedSharding(mesh, P("dp", None, None))
+    s2 = NamedSharding(mesh, P("dp", None))
+
+    def put(x, s):
+        return jax.device_put(jnp.asarray(x), s)
+
+    shardings = (s3, s3, s2, s3, s3, s2, s2, s3, s3)
+    fn = jax.jit(
+        jax.vmap(lambda *a: step.__wrapped__(*a).f32_pack),
+        in_shardings=shardings,
+    )
+    args = (imgs_l, imgs_r, scal, last_f32, last_desc, last_oct,
+            last_ang, loc_f32, loc_desc)
+    return fn(*(put(a, s) for a, s in zip(args, shardings)))
+
+
+# ---------------------------------------------------------------------------
 # edge-parallel global bundle adjustment
 # ---------------------------------------------------------------------------
 
