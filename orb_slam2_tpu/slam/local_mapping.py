@@ -518,6 +518,20 @@ class LocalMapper:
         prob = prob._replace(cam_fixed=jnp.asarray(cam_fixed))
         fx, fy, cx, cy, bf = self._intrinsics()
         mode = "dense" if len(cams) <= 64 else "cg"
+        # Outlier-gated GBA: after a loop correction the observation set
+        # contains a few wrong cross-seam fusions with NO pruning pass
+        # between SearchAndFuse and here (the reference relies on Huber
+        # only, :49-237); measured on a 2.6-turn circuit those edges drag
+        # the whole map (post-EG ATE 0.88 -> 1.57).  A wrong fusion is
+        # only separable from a large-residual GOOD edge at convergence,
+        # so: full Huber GBA first, classify chi2 outliers under the
+        # converged state, then re-optimize the inlier set.
+        cam_T, pts, _ = ba.optimize(
+            prob, fx, fy, cx, cy, bf, iters=iters, use_kernel=True, mode=mode
+        )
+        conv = prob._replace(cam_T=cam_T, pts=pts)
+        bad = ba.classify_outliers(conv, fx, fy, cx, cy, bf)
+        prob = conv._replace(edge_mask=prob.edge_mask & ~bad)
         cam_T, pts, _ = ba.optimize(
             prob, fx, fy, cx, cy, bf, iters=iters, use_kernel=True, mode=mode
         )
