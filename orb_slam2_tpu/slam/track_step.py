@@ -609,10 +609,21 @@ def _build_track_step_chained(settings, sensor_stereo: bool):
             jax.lax.bitcast_convert_type(
                 f_desc, jnp.float32).reshape(-1),        # 8N
         ])
+        # chain-poisoning guard: a weak pose solve (few inliers) must not
+        # become the next frame's anchor — carry the motion-model
+        # prediction and the previous velocity instead, and drop the
+        # feature->point bindings so the next motion match can't lock
+        # onto a wrong geometry.  The host sees the weak n_in and runs
+        # its fallback; the chain stays on the motion-model rail until
+        # a confident solve or a host re-anchor.
+        trust = n_in >= 30
+        T_next = jnp.where(trust, T2, T_pred)
         new_chain = ChainState(
             xy=f_xy, ur=ur, octave=f_oct, angle=f_ang, desc=f_desc,
-            pid=jnp.where(inlier, feat_pid, -1),
-            T_cur=T2, velocity=T2 @ se3_geo.inverse(chain.T_cur),
+            pid=jnp.where(trust & inlier, feat_pid, -1),
+            T_cur=T_next,
+            velocity=jnp.where(
+                trust, T2 @ se3_geo.inverse(chain.T_cur), velocity),
         )
         return TrackOut(f32_pack, f_desc), new_chain
 
