@@ -66,6 +66,11 @@ class LocalMapper:
         self.store = store
         self.queue.clear()
         self.recent_points.clear()
+        # cascade so the loop closer never holds a discarded map
+        # (ref: Tracking::Reset clears LoopClosing too,
+        # src/Tracking.cc:1524-1529)
+        if self.loop_closer is not None:
+            self.loop_closer.reset(store)
 
     def spin(self):
         """Drain the keyframe queue (ref: LocalMapping::Run loop)."""
@@ -462,6 +467,15 @@ class LocalMapper:
             c for p in pids for c, _f in store.obs.items(int(p))
             if c not in cam_set and store.kf_valid[c]
         })
+        # the origin keyframe is ALWAYS held fixed when it appears in the
+        # window (ref: src/Optimizer.cc:505 vSE3->setFixed(mnId==0));
+        # without this the early map's gauge drifts off the origin every
+        # local BA until enough out-of-window observers exist
+        origin = store.origin_kf
+        if origin in cam_set:
+            cams = [c for c in cams if c != origin]
+            cam_set.discard(origin)
+            fixed = sorted(set(fixed) | {origin})
         # gauge: fix origin / first keyframe if present (ref :471-475)
         with self.store.lock:
             prob, cam_index, pids, e_feat = self._gather_ba_problem(

@@ -1311,11 +1311,18 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def reset(self):
-        """ref: Tracking::Reset (src/Tracking.cc:1505-1551)."""
+        """ref: Tracking::Reset (src/Tracking.cc:1505-1551) — clears ALL
+        threads' state: local mapping, loop closing (via the mapper's
+        cascade), the BoW database, and the relocalizer all rebind to
+        the fresh map."""
         store = self.store
+        new_store = MapStore(store.n_feat)
+        # keep cross-component erase hooks (e.g. KeyFrameDatabase.erase)
+        # wired to the live store
+        new_store.erase_hooks = store.erase_hooks
         self.__init__(
             self.s, self.sensor,
-            MapStore(store.n_feat), self.builder,
+            new_store, self.builder,
             local_mapper=self.local_mapper,
             kf_database=self.kf_database,
             relocalizer=self.relocalizer,
@@ -1324,6 +1331,8 @@ class Tracker:
             self.local_mapper.reset(self.store)
         if self.kf_database is not None:
             self.kf_database.clear()
+        if self.relocalizer is not None:
+            self.relocalizer.store = self.store
 
     def set_localization_mode(self, on: bool):
         """ref: System::{Activate,Deactivate}LocalizationMode

@@ -297,7 +297,10 @@ def optimize(
         cam_T = jnp.where(accept, cam_T_new, cam_T)
         pts = jnp.where(accept, pts_new, pts)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return (cam_T, pts, lam), err_new
+        # report the ACCEPTED state's error, not the proposal's — a
+        # rejected final step would otherwise return an arbitrarily bad
+        # number for a perfectly good state
+        return (cam_T, pts, lam), jnp.where(accept, err_new, err_old)
 
     # NOTE: fixed-length scan, deliberately NOT an early-exit while_loop:
     # LM can accept a near-zero-improvement step early (lambda still

@@ -7,7 +7,13 @@ validating pjit/shard_map programs without real chips.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-force CPU (not setdefault): under the axon TPU tunnel the shell
+# exports JAX_PLATFORMS=axon, and the multi-device sharding tests need
+# the virtual 8-CPU mesh either way. Set ORB_SLAM2_TPU_TEST_PLATFORM to
+# override deliberately.
+os.environ["JAX_PLATFORMS"] = os.environ.get(
+    "ORB_SLAM2_TPU_TEST_PLATFORM", "cpu"
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize (TPU tunnel images) calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter startup,
+# which overrides the env var above — force the config back too.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache: JAX-on-CPU compile times dominate the suite;

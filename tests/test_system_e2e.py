@@ -1,0 +1,198 @@
+"""CI-sized end-to-end System tests for the paths round 1 left to manual
+soak scripts (VERDICT Weak #4): loop closing, relocalization, reset
+wiring, and the monocular pipeline.
+
+All runs use the synchronous deterministic scheduler on synthetic scenes
+(SURVEY §4 test pyramid item 3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam2_tpu.config import Sensor, Settings
+from orb_slam2_tpu.ops import frontend
+from orb_slam2_tpu.places.vocabulary import Vocabulary
+from orb_slam2_tpu.system import System
+
+from synthetic import (
+    CylinderScene, PlaneScene, circle_trajectory, stereo_sequence,
+    straight_trajectory,
+)
+
+H, W = 240, 320
+FX = FY = 260.0
+BASELINE = 0.1
+
+
+def make_settings(**kw):
+    base = dict(
+        fx=FX, fy=FY, cx=W / 2, cy=H / 2, bf=FX * BASELINE,
+        width=W, height=H, n_features=600, fps=5.0, th_depth=60.0,
+    )
+    base.update(kw)
+    return Settings(**base)
+
+
+def center_of(T):
+    return -T[:3, :3].T @ T[:3, 3]
+
+
+def kf_ate(store, poses, dt):
+    """RMSE of keyframe centers vs ground truth (same gauge: both are
+    relative to the first pose at identity)."""
+    T0 = poses[0].copy()
+    errs = []
+    for k in store.valid_kf_ids():
+        k = int(k)
+        fi = int(round(store.kf_timestamp[k] / dt))
+        Tg = poses[fi] @ np.linalg.inv(T0)
+        errs.append(np.linalg.norm(center_of(store.kf_pose[k])
+                                   - center_of(Tg)))
+    errs = np.asarray(errs)
+    return float(np.sqrt((errs ** 2).mean()))
+
+
+@pytest.fixture(scope="module")
+def cylinder_world():
+    """Shared cylinder scene + toy vocabulary for loop/reloc tests."""
+    settings = make_settings()
+    scene = CylinderScene(settings.K, H, W)
+    # vocab trained on a handful of views around the orbit
+    probe = circle_trajectory(12, orbit_r=2.0, total_angle=2 * np.pi)
+    descs = []
+    for T in probe:
+        f = frontend.extract(jnp.asarray(scene.render(T)), n_features=600)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = Vocabulary.train(np.concatenate(descs), k=10, L=3, levels_up=1)
+    return settings, scene, voc
+
+
+def run_circuit(settings, scene, voc, n_frames, total_angle, disable_loop):
+    sys_ = System(settings, Sensor.STEREO, vocabulary=voc)
+    if disable_loop:
+        sys_.loop_closer.insert_keyframe = lambda kf: None
+    poses = circle_trajectory(n_frames, orbit_r=2.0,
+                              total_angle=total_angle)
+    Trl = np.eye(4, dtype=np.float32)
+    Trl[0, 3] = -BASELINE
+    for i, T in enumerate(poses):
+        sys_.track_stereo(scene.render(T), scene.render(Trl @ T), i * 0.2)
+    return sys_, poses
+
+
+class TestLoopClosing:
+    def test_loop_closes_and_improves_ate(self, cylinder_world):
+        settings, scene, voc = cylinder_world
+        n, ang = 80, 2 * np.pi * 1.25
+        sys_on, poses = run_circuit(settings, scene, voc, n, ang,
+                                    disable_loop=False)
+        assert sys_on.loop_closer.loops_closed >= 1
+        assert sys_on.loop_closer.loop_detected  # fork Monopub flag
+        ate_on = kf_ate(sys_on.map, poses, 0.2)
+
+        sys_off, _ = run_circuit(settings, scene, voc, n, ang,
+                                 disable_loop=True)
+        ate_off = kf_ate(sys_off.map, poses, 0.2)
+        assert ate_on < ate_off, (ate_on, ate_off)
+
+
+class TestRelocalization:
+    def test_lost_then_relocalizes(self, cylinder_world):
+        settings, scene, voc = cylinder_world
+        sys_ = System(settings, Sensor.STEREO, vocabulary=voc)
+        poses = circle_trajectory(40, orbit_r=2.0,
+                                  total_angle=np.pi * 0.8)
+        Trl = np.eye(4, dtype=np.float32)
+        Trl[0, 3] = -BASELINE
+        T0 = poses[0].copy()
+        for i, T in enumerate(poses):
+            sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                              i * 0.2)
+        assert sys_.tracker.state.name == "OK"
+
+        # kill tracking with blank frames
+        blank = np.zeros((H, W), np.float32)
+        for j in range(3):
+            sys_.track_stereo(blank, blank, 100 + j * 0.2)
+        assert sys_.tracker.state.name == "LOST"
+
+        # revisit a mapped pose -> BoW reloc -> EPnP -> guided rounds
+        T = poses[10]
+        Te = None
+        for j in range(3):
+            Te = sys_.track_stereo(scene.render(T),
+                                   scene.render(Trl @ T), 200 + j * 0.2)
+        assert sys_.tracker.state.name == "OK"
+        Tg = T @ np.linalg.inv(T0)
+        err = np.linalg.norm(center_of(Te) - center_of(Tg))
+        assert err < 0.1, f"reloc pose error {err:.3f} m"
+
+
+class TestReset:
+    def test_reset_rebinds_every_subsystem(self, cylinder_world):
+        settings, scene, voc = cylinder_world
+        sys_ = System(settings, Sensor.STEREO, vocabulary=voc)
+        poses = circle_trajectory(8, orbit_r=2.0, total_angle=0.4)
+        Trl = np.eye(4, dtype=np.float32)
+        Trl[0, 3] = -BASELINE
+        for i, T in enumerate(poses):
+            sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                              i * 0.2)
+        old_store = sys_.store
+        assert int(old_store.kf_valid.sum()) >= 1
+
+        sys_.reset()
+        # every subsystem must point at the fresh store
+        # (ref: Tracking::Reset clears ALL threads, src/Tracking.cc:1505)
+        assert sys_.store is sys_.tracker.store
+        assert sys_.store is not old_store
+        assert sys_.local_mapper.store is sys_.store
+        assert sys_.loop_closer.store is sys_.store
+        assert sys_.tracker.relocalizer.store is sys_.store
+        assert int(sys_.store.kf_valid.sum()) == 0
+        # erase hooks (KeyFrameDatabase) survive onto the new store
+        assert any(getattr(h, "__self__", None) is sys_.kf_database
+                   for h in sys_.store.erase_hooks)
+
+        # and the system re-initializes + tracks + reloc/loop paths run
+        # against the NEW map without touching stale ids
+        for i, T in enumerate(poses):
+            Te = sys_.track_stereo(scene.render(T),
+                                   scene.render(Trl @ T), 50 + i * 0.2)
+        assert sys_.tracker.state.name == "OK"
+        assert Te is not None
+        assert int(sys_.store.kf_valid.sum()) >= 1
+
+
+class TestMonocular:
+    def test_mono_end_to_end(self):
+        settings = make_settings(n_features=800, fps=10.0, th_depth=40.0)
+        scene = PlaneScene(settings.K, H, W)
+        # enough sideways translation for H/F initialization parallax
+        poses = straight_trajectory(25, step=0.06, yaw_step=0.002)
+        sys_ = System(settings, Sensor.MONOCULAR)
+        est = []
+        for i, T in enumerate(poses):
+            Te = sys_.track_monocular(scene.render(T), i * 0.1)
+            est.append(None if Te is None else Te.copy())
+        # init must have happened and tracking survived to the end
+        assert sys_.tracker.state.name == "OK"
+        assert int(sys_.map.kf_valid.sum()) >= 2
+        assert int(sys_.map.pt_valid.sum()) > 50
+        n_tracked = sum(T is not None for T in est)
+        assert n_tracked >= len(poses) // 2
+
+        # scale-aligned trajectory accuracy (mono scale is arbitrary:
+        # align with the ratio of median displacements)
+        T0 = next(i for i, T in enumerate(est) if T is not None)
+        gt = np.array([center_of(poses[i] @ np.linalg.inv(poses[T0]))
+                       for i, T in enumerate(est) if T is not None])
+        ee = np.array([center_of(T) for T in est if T is not None])
+        num = np.linalg.norm(gt, axis=1)
+        den = np.linalg.norm(ee, axis=1)
+        s = np.median(num[den > 1e-6] / den[den > 1e-6])
+        errs = np.linalg.norm(gt - s * ee, axis=1)
+        # mono accumulates scale drift; the bound reflects ~10% of the
+        # 1.5 m excursion plus alignment slack
+        assert errs.max() < 0.3, f"scaled ATE max {errs.max():.3f} m"
+        assert np.median(errs) < 0.1, f"scaled ATE median {np.median(errs):.3f} m"
