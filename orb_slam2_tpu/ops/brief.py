@@ -5,19 +5,20 @@ TPU-native replacement for computeOrbDescriptor
 samples at pattern offsets rotated by the keypoint angle and rounded to
 integer pixels; 256 bits are packed into (N, 8) uint32.
 
-The reference's bit_pattern_31_ is a machine-learned constant we do not
-copy; instead a deterministic BRIEF-style localized Gaussian pattern
-(Calonder et al. G-II sampling: p ~ N(0, (S/5)^2), q ~ N(p, (S/10)^2)) is
-generated at import.  The whole framework (including the trained
-vocabulary) is self-consistent on this pattern; an OpenCV-compatible
-pattern can be injected via `set_pattern` if external vocabularies are
-needed.
+The default tap table is the published learned ``bit_pattern_31_``
+constant (ops/orb_pattern.py; ref: src/ORBextractor.cc:150-408) so
+descriptors are comparable with OpenCV ORB / ORB-SLAM2 and the public
+ORBvoc.txt vocabulary.  `generate_pattern` still provides the
+deterministic G-II Gaussian alternative (Calonder et al. sampling:
+p ~ N(0, (S/5)^2), q ~ N(p, (S/10)^2)); install it with `set_pattern`.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+
+from orb_slam2_tpu.ops.orb_pattern import BIT_PATTERN_31
 
 PATTERN_BITS = 256
 _CLIP = 13  # keep taps within the 31x31 patch under rotation margin
@@ -44,7 +45,7 @@ def generate_pattern(seed: int = 1234) -> np.ndarray:
     return np.array(pairs, np.int32)
 
 
-_PATTERN = generate_pattern()
+_PATTERN = BIT_PATTERN_31
 
 
 def set_pattern(pattern: np.ndarray) -> None:

@@ -24,7 +24,7 @@ _L = 5            # search range +/- 5 (ref: Frame.cc:563)
 _ROWS = 24        # 11-row window + 8-row alignment slack
 
 
-def _make_kernel(n_programs: int):
+def _make_kernel():
     n_shifts = 2 * _L + 1      # 11
     win = 2 * _W + 1           # 11
 
@@ -110,7 +110,7 @@ def sad_strips(img_l: jnp.ndarray, img_r: jnp.ndarray,
     assert w % 128 == 0 and w >= 256
 
     n_programs = n // KP_PER_PROGRAM
-    kernel = _make_kernel(n_programs)
+    kernel = _make_kernel()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_programs,),

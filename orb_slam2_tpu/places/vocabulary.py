@@ -252,44 +252,69 @@ class Vocabulary:
     # ------------------------------------------------------------------
     @classmethod
     def load_text(cls, path: str, levels_up: int = 4) -> "Vocabulary":
+        """Parse an ORBvoc.txt-format file (header `k L s w`, then one
+        node per line: `parentId isLeaf byte0..byte31 weight`, node ids
+        implicit in file order starting at 1; ref:
+        TemplatedVocabulary.h:1338 loadFromTextFile).
+
+        Vectorized for the real ~1.1M-node k=10/L=6 vocabulary:
+        np.loadtxt's C tokenizer + one scatter for the children table.
+        Malformed lines (wrong column count) raise instead of being
+        silently dropped; a parent with more than k children raises."""
         with open(path) as f:
             header = f.readline().split()
+            if len(header) < 2:
+                raise ValueError(f"{path}: bad vocabulary header {header!r}")
             k, L = int(header[0]), int(header[1])
-            parents, descs, weights = [], [], []
-            for line in f:
-                p = line.split()
-                if len(p) < 34:
-                    continue
-                parents.append(int(p[0]))
-                descs.append([int(x) for x in p[2:34]])
-                weights.append(float(p[34]))
-        n = len(parents) + 1   # + root
+            data = np.loadtxt(f, dtype=np.float64, ndmin=2)
+        if data.size == 0:
+            raise ValueError(f"{path}: vocabulary has no nodes")
+        if data.shape[1] != 35:
+            raise ValueError(
+                f"{path}: expected 35 columns per node line "
+                f"(parent isLeaf 32-bytes weight), got {data.shape[1]}")
+        parents = data[:, 0].astype(np.int64)
+        is_leaf_flag = data[:, 1] != 0
+        by = data[:, 2:34]
+        if (by < 0).any() or (by > 255).any():
+            raise ValueError(f"{path}: descriptor bytes out of [0,255]")
+        n = len(parents) + 1   # + implicit root (node 0)
+        if (parents < 0).any() or (parents >= n).any():
+            raise ValueError(f"{path}: parent id out of range")
         node_desc = np.zeros((n, 8), np.uint32)
-        by = np.array(descs, np.uint8)
-        node_desc[1:] = by.view("<u4").astype(np.uint32).reshape(-1, 8)
+        node_desc[1:] = np.ascontiguousarray(
+            by.astype(np.uint8)).view("<u4").astype(np.uint32)
         node_parent = np.full(n, -1, np.int32)
-        node_parent[1:] = np.array(parents, np.int32) \
-            + 0   # text format uses node ids with root=0
+        node_parent[1:] = parents
         node_weight = np.zeros(n, np.float32)
-        node_weight[1:] = weights
+        node_weight[1:] = data[:, 34]
+        # children table in one scatter: stable-sort nodes by parent and
+        # compute each node's slot within its parent's group
         node_children = np.full((n, k), -1, np.int32)
-        fill = np.zeros(n, np.int32)
-        for i in range(1, n):
-            p = node_parent[i]
-            if 0 <= p < n and fill[p] < k:
-                node_children[p, fill[p]] = i
-                fill[p] += 1
+        order = np.argsort(parents, kind="stable")
+        p_sorted = parents[order]
+        uniq, start, counts = np.unique(
+            p_sorted, return_index=True, return_counts=True)
+        if counts.size and counts.max() > k:
+            bad = uniq[np.argmax(counts)]
+            raise ValueError(
+                f"{path}: node {bad} has {counts.max()} children > k={k}")
+        if np.intersect1d(uniq, np.nonzero(is_leaf_flag)[0] + 1).size:
+            raise ValueError(f"{path}: node flagged leaf has children")
+        slot = np.arange(len(p_sorted)) - np.repeat(start, counts)
+        node_children[p_sorted, slot] = (order + 1).astype(np.int32)
         return cls(k, L, node_desc, node_children, node_weight,
                    node_parent, levels_up=levels_up)
 
     def save_text(self, path: str):
+        n = len(self.node_desc)
+        by = self.node_desc.astype("<u4").view(np.uint8)   # (M, 32)
+        cols = np.empty((n - 1, 35), np.float64)
+        cols[:, 0] = self.node_parent[1:]
+        cols[:, 1] = self.is_leaf[1:]
+        cols[:, 2:34] = by[1:]
+        cols[:, 34] = self.node_weight[1:]
         with open(path, "w") as f:
             f.write(f"{self.k} {self.L} 0 0\n")
-            for i in range(1, len(self.node_desc)):
-                by = self.node_desc[i].astype("<u4").view(np.uint8)
-                is_leaf = 1 if self.is_leaf[i] else 0
-                f.write(
-                    f"{self.node_parent[i]} {is_leaf} "
-                    + " ".join(str(int(b)) for b in by)
-                    + f" {self.node_weight[i]}\n"
-                )
+            np.savetxt(f, cols,
+                       fmt=["%d"] * 34 + ["%.9g"], delimiter=" ")

@@ -94,9 +94,30 @@ class FrameBuilder:
             s.dist_coeffs if s.has_distortion else None,
         )
 
+    def prefetch(self, *imgs: np.ndarray) -> None:
+        """Start async uploads for images that will be tracked NEXT.
+
+        A real-time driver has dead time between frames (camera period /
+        dataset pacing); issuing the uint8 image upload there takes the
+        h2d transfer off the tracked frame's critical path — over the
+        remote-TPU tunnel that transfer is the single biggest per-frame
+        cost.  Keyed by object identity; consumed by the next _upload of
+        the same array."""
+        self._prefetched = {
+            id(im): jnp.asarray(
+                im if im.dtype == np.uint8
+                else np.clip(im, 0, 255).astype(np.uint8))
+            for im in imgs if im is not None
+        }
+
     def _upload(self, img: np.ndarray) -> jnp.ndarray:
         """Host->device image upload as uint8 (4x less tunnel traffic than
         f32; the frontend casts on device)."""
+        pre = getattr(self, "_prefetched", None)
+        if pre:
+            dev = pre.pop(id(img), None)
+            if dev is not None and dev.shape == img.shape:
+                return dev
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
         return jnp.asarray(img)

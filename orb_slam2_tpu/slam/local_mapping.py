@@ -21,7 +21,9 @@ from orb_slam2_tpu.ops import matching
 from orb_slam2_tpu.slam.map_store import MapStore
 from orb_slam2_tpu.solvers import ba
 from orb_slam2_tpu.solvers import triangulation as tri
-from orb_slam2_tpu.utils import StickyBuckets, bucket_size, pad_rows
+from orb_slam2_tpu.utils import (
+    StageTimers, StickyBuckets, bucket_size, pad_rows,
+)
 
 
 class LocalMapper:
@@ -47,6 +49,7 @@ class LocalMapper:
         self._buckets = StickyBuckets(fuse=512, K=16, P=1024, E=4096, nb=8)
         # per-processed-keyframe callbacks (Monopub stream contract)
         self.on_keyframe: List = []
+        self.timers = StageTimers()
 
     # -- queue / thread-protocol surface (ref: LocalMapping.h:50-68) ----
     def insert_keyframe(self, kf: int):
@@ -86,19 +89,20 @@ class LocalMapper:
         self.current_kf = kf
         self.abort_ba = False
         lock = self.store.lock
-        with lock:
+        with lock, self.timers("lm/process_new_kf"):
             self._process_new_keyframe(kf)
-        with lock:
+        with lock, self.timers("lm/cull_points"):
             self._cull_map_points(kf)
-        with lock:
+        with lock, self.timers("lm/triangulate"):
             self._create_new_map_points(kf)
         if not self.queue:
-            with lock:
+            with lock, self.timers("lm/fuse_neighbors"):
                 self._search_in_neighbors(kf)
         if not self.queue and not self.abort_ba:
             if int(self.store.kf_valid.sum()) > 2:
-                self.local_bundle_adjustment(kf)
-            with lock:
+                with self.timers("lm/local_ba"):
+                    self.local_bundle_adjustment(kf)
+            with lock, self.timers("lm/cull_keyframes"):
                 self._cull_keyframes(kf)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(kf)

@@ -144,6 +144,7 @@ class MapStore:
         # big-change counter (ref: Map::InformNewBigChange src/Map.cc:70)
         self.big_change_idx = 0
         self.origin_kf = 0
+        self.map_epoch = 0
         # bumped on every replace_point; lets the tracker skip the
         # per-feature replacement sweep when nothing changed
         self.replace_epoch = 0
@@ -162,6 +163,9 @@ class MapStore:
         self.dirty_sinks: list = []
 
     def mark_dirty(self, pids):
+        # monotone point-data epoch: device-side caches of point blocks
+        # (tracking's local-candidate cache) revalidate against this
+        self.map_epoch += 1
         if not self.dirty_sinks:
             return
         if np.isscalar(pids) or isinstance(pids, (int, np.integer)):

@@ -120,6 +120,10 @@ def _build_track_step(settings, sensor_stereo: bool):
         last_oct, last_angle,         # (L,) device-cached feature fields
         loc_f32,                      # (M, 8) [pts xyz, normal xyz, min, max]
         loc_desc,                     # (M, 8) u32
+        loc_excl=None,                # (M,) u8: 1 = skip this candidate
+                                      # (bound in last frame / gone bad);
+                                      # lets the big loc blocks stay cached
+                                      # on device across frames
     ):
         # numpy closures -> traced constants (inlined, axon-safe)
         sf_c = jnp.asarray(sf)
@@ -139,6 +143,8 @@ def _build_track_step(settings, sensor_stereo: bool):
         loc_min = loc_f32[:, 6]
         loc_max = loc_f32[:, 7]
         loc_mask = (jnp.arange(loc_f32.shape[0]) < n_cand)
+        if loc_excl is not None:
+            loc_mask = loc_mask & (loc_excl == 0)
 
         # ---- 1. frontend ------------------------------------------------
         if sensor_stereo:

@@ -106,6 +106,9 @@ class Tracker:
         self._buckets = StickyBuckets(local=512)
         self._seen_replace_epoch = 0
         self._frames_since_map_refresh = 0
+        # device-side cache of the local-candidate block (see _fast_prep)
+        self._loc_cache = None
+        self._local_window_epoch = 0
 
         # frame pipelining: dispatch frame t+1 before pulling frame t
         # (results delayed by one frame).  The chained step gathers point
@@ -132,6 +135,7 @@ class Tracker:
         self._chain_step = None
         self._chain = None
         self._pending = None
+        self._loc_cache = None
 
     # ------------------------------------------------------------------
     # fused fast path: ONE compiled step + ONE sync per steady frame
@@ -159,8 +163,27 @@ class Tracker:
     def _track_fast(self, img_l, img_r, timestamp) -> Optional[np.ndarray]:
         store = self.store
         last = self.last_frame
-        store.lock.acquire()
-        _t_prep = self.timers("fast/prep").__enter__()
+        with store.lock, self.timers("fast/prep"):
+            (scal, last_f32, last_desc, cand, last_pids,
+             loc_f32_dev, loc_desc_dev, excl) = self._fast_prep(last)
+        step = self._get_fast_step()
+        with self.timers("fast/dispatch"):
+            img_l_d = self.builder._upload(img_l)
+            img_r_d = (self.builder._upload(img_r)
+                       if img_r is not None else img_l_d)
+            out = step(
+                img_l_d, img_r_d, jnp.asarray(scal),
+                jnp.asarray(last_f32), jnp.asarray(last_desc),
+                last.feats.device("octave"), last.feats.device("angle"),
+                loc_f32_dev, loc_desc_dev, jnp.asarray(excl),
+            )
+            out.f32_pack.copy_to_host_async()  # overlap pull w/ host prep
+        return self._fast_finish(out, last, cand, last_pids, timestamp,
+                                 len(excl))
+
+    def _fast_prep(self, last):
+        """Host-side input assembly for the fused step (under store.lock)."""
+        store = self.store
         self._replace_updated_points(last)
         self._update_last_frame()
         T_pred = (self.velocity @ last.Tcw).astype(np.float32)
@@ -173,18 +196,37 @@ class Tracker:
         last_desc = store.pt_desc[pids]
         last_pids = pids
 
-        # stale local-map candidates, minus points already in the last block
-        lp = self.local_pts
-        keep = store.pt_valid[lp] & ~np.isin(lp, pids[has])
-        cand = lp[keep]
-        M = self._buckets("local", max(len(cand), 1))
-        loc_f32 = np.zeros((M, 8), np.float32)
-        nc = len(cand)
-        loc_f32[:nc, :3] = store.pt_pos[cand]
-        loc_f32[:nc, 3:6] = store.pt_normal[cand]
-        loc_f32[:nc, 6] = store.pt_min_dist[cand]
-        loc_f32[:nc, 7] = store.pt_max_dist[cand]
-        loc_desc = pad_rows(store.pt_desc[cand], M)
+        # stale local-map candidate BLOCK, cached on device: the ~256KB
+        # loc arrays only change when the local window or the point data
+        # does (epoch check), so steady frames upload just a tiny
+        # per-frame exclusion mask instead of re-shipping the block over
+        # the tunnel
+        epoch = (self._local_window_epoch, store.map_epoch)
+        cache = self._loc_cache
+        if cache is None or cache["epoch"] != epoch:
+            lp = self.local_pts
+            cand = lp[store.pt_valid[lp]]
+            M = self._buckets("local", max(len(cand), 1))
+            nc = len(cand)
+            loc_f32 = np.zeros((M, 8), np.float32)
+            loc_f32[:nc, :3] = store.pt_pos[cand]
+            loc_f32[:nc, 3:6] = store.pt_normal[cand]
+            loc_f32[:nc, 6] = store.pt_min_dist[cand]
+            loc_f32[:nc, 7] = store.pt_max_dist[cand]
+            cache = dict(
+                epoch=epoch, cand=cand, nc=nc, M=M,
+                f32=jnp.asarray(loc_f32),
+                desc=jnp.asarray(pad_rows(store.pt_desc[cand], M)),
+            )
+            self._loc_cache = cache
+        cand, nc, M = cache["cand"], cache["nc"], cache["M"]
+        loc_f32_dev, loc_desc_dev = cache["f32"], cache["desc"]
+        # per-frame exclusion: candidates bound in the last frame (they
+        # are matched through the last block) or since gone bad
+        excl = np.zeros(M, np.uint8)
+        if nc:
+            excl[:nc] = (~store.pt_valid[cand]
+                         | np.isin(cand, pids[has])).astype(np.uint8)
 
         tlc = last.Tcw @ np.linalg.inv(T_pred)
         mono = self.sensor == Sensor.MONOCULAR
@@ -200,21 +242,11 @@ class Tracker:
         scal[19] = nc
         last_f32 = np.concatenate(
             [last_pts, has[:, None].astype(np.float32)], 1)
+        return (scal, last_f32, last_desc, cand, last_pids,
+                loc_f32_dev, loc_desc_dev, excl)
 
-        store.lock.release()
-        _t_prep.__exit__()
-        step = self._get_fast_step()
-        with self.timers("fast/dispatch"):
-            img_l_d = self.builder._upload(img_l)
-            img_r_d = (self.builder._upload(img_r)
-                       if img_r is not None else img_l_d)
-            out = step(
-                img_l_d, img_r_d, jnp.asarray(scal),
-                jnp.asarray(last_f32), jnp.asarray(last_desc),
-                last.feats.device("octave"), last.feats.device("angle"),
-                jnp.asarray(loc_f32), jnp.asarray(loc_desc),
-            )
-            out.f32_pack.copy_to_host_async()  # overlap pull w/ host prep
+    def _fast_finish(self, out, last, cand, last_pids, timestamp, M):
+        store = self.store
         from orb_slam2_tpu.ops.frontend import padded_total
 
         n_feat = padded_total(
@@ -559,11 +591,6 @@ class Tracker:
                 frame.feats.desc, frame.feats.valid)
             frame.feats.node[:] = node
             frame.feats.word[:] = word
-
-    def _update_local_map_cheap(self, frame: Frame):
-        """Host-only local window refresh (same logic as
-        _update_local_map, no device calls)."""
-        self._update_local_map()
 
     # ------------------------------------------------------------------
     # public per-frame entries (ref: GrabImage* src/Tracking.cc:168-266)
@@ -916,7 +943,6 @@ class Tracker:
             if frame.outlier[i]:
                 frame.bindings[i] = -1
                 frame.outlier[i] = False
-                self.store.pt_visible[pid] += 0  # reference resets flags only
             elif self.store.pt_n_obs[pid] >= 1:
                 n_map += 1
         return n_map
@@ -1140,6 +1166,7 @@ class Tracker:
         self.ref_kf = best_kf
         frame.ref_kf = best_kf
         self.local_pts = store.points_in_kfs(self.local_kfs)
+        self._local_window_epoch += 1
 
     def _search_local_points(self):
         """ref: Tracking::SearchLocalPoints (src/Tracking.cc:1144-1204)."""

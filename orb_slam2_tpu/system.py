@@ -120,6 +120,16 @@ class System:
         self._pump()
         return T
 
+    def prefetch(self, *imgs) -> None:
+        """Start async device uploads for the NEXT frame's images.
+
+        Call between frames (e.g. while the driver paces to the dataset
+        frame rate) to overlap the host->device image transfer with idle
+        time — the equivalent of a camera pipeline DMA-ing the next frame
+        while the current one is processed.  Safe no-op if the images
+        passed later differ."""
+        self.builder.prefetch(*imgs)
+
     def _pump(self):
         if self.store is not self.tracker.store:
             # tracker reset swapped in a fresh map

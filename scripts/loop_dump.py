@@ -28,7 +28,7 @@ sys_ = System(settings, Sensor.STEREO, vocabulary=voc)
 T0 = poses[0].copy()
 
 orig_opt = pose_graph.optimize
-def dump_opt(prob, iters=20):
+def dump_opt(prob, iters=20, **kw):
     st = sys_.map
     gt = {}
     for k in st.valid_kf_ids():
@@ -40,7 +40,7 @@ def dump_opt(prob, iters=20):
                      "kfs": [int(k) for k in st.valid_kf_ids()],
                      "gt": gt}, f)
     print("dumped essential-graph problem")
-    return orig_opt(prob, iters=iters)
+    return orig_opt(prob, iters=iters, **kw)
 pose_graph.optimize = dump_opt
 
 b = 0.1

@@ -180,6 +180,30 @@ class TestBRIEF:
         assert dist <= cv_dist + 15, (dist, cv_dist)
         assert dist < 110, dist
 
+    def test_descriptors_match_opencv_orb(self, img):
+        """With the verbatim bit_pattern_31_ table, descriptors computed at
+        OpenCV's own keypoints/angles must be near-identical to
+        cv2.ORB.compute output (ref: src/ORBextractor.cc:103-144).  Small
+        drift comes only from the Gaussian blur (OpenCV 7x7 sigma=2 matches
+        ours) and tap rounding at the float boundary."""
+        orb = cv2.ORB_create(nfeatures=150, nlevels=1, edgeThreshold=31)
+        kps = orb.detect(img)
+        kps, cv_desc = orb.compute(img, kps)
+        assert len(kps) > 30
+        xy = np.array([[round(k.pt[0]), round(k.pt[1])] for k in kps], np.int32)
+        ang = np.array([k.angle for k in kps], np.float32)
+        blurred = gaussian.blur7x7(jnp.asarray(img, jnp.float32))
+        ours = np.asarray(brief.describe(
+            jnp.asarray(blurred), jnp.asarray(xy), jnp.asarray(ang),
+            jnp.ones(len(kps), bool)))
+        # cv2 bytes little-endian-viewed as u32 match our packing order
+        cv_u32 = np.ascontiguousarray(cv_desc).view("<u4")
+        dist = np.asarray(hamming.distance(
+            jnp.asarray(ours), jnp.asarray(cv_u32)))
+        # near-bit-exact: median 0-4 bits, mean tightly bounded
+        assert np.median(dist) <= 4, (np.median(dist), dist[:10])
+        assert dist.mean() <= 8, dist.mean()
+
     def test_random_pair_distance_is_high(self):
         rng = np.random.default_rng(3)
         a = jnp.asarray(rng.integers(0, 2**32, (100, 8), dtype=np.uint32))

@@ -93,6 +93,99 @@ class TestVocabulary:
         for a, b in zip(w1, w2):
             assert m1.setdefault(a, b) == b
 
+    def test_load_text_real_scale_k10_L6(self, tmp_path):
+        """Loader + device descent at the real ORBvoc geometry: k=10,
+        L=6, >100k nodes, ragged (some branches stop early, exercising
+        the early-leaf carry in descend and the levels_up=4 recording
+        depth; ref: TemplatedVocabulary.h:1218-1256)."""
+        rng = np.random.default_rng(7)
+        k, L = 10, 6
+        parents, descs = [], []   # node ids = index+1, file order
+        # depth-1..4: full 10-ary fanout from a root subset kept small
+        # enough for CI (6 children at depth 1 -> ~111k nodes total)
+        frontier = [0]
+        n_next = [6, 10, 10, 10]   # fanout per depth for depths 1..4
+        for depth in range(4):
+            new = []
+            for p in frontier:
+                for _ in range(n_next[depth]):
+                    nid = len(parents) + 1
+                    parents.append(p)
+                    new.append(nid)
+            frontier = new
+        # depth 5: ragged — 70% of depth-4 nodes get 10 children,
+        # the rest become early leaves
+        deep = []
+        for p in frontier:
+            if rng.random() < 0.7:
+                for _ in range(k):
+                    nid = len(parents) + 1
+                    parents.append(p)
+                    deep.append(nid)
+        # depth 6: half the depth-5 nodes get 3 children (leaves)
+        for p in deep:
+            if rng.random() < 0.5:
+                for _ in range(3):
+                    parents.append(p)
+        n = len(parents)
+        assert n > 100_000, n
+        by = rng.integers(0, 256, (n, 32), np.uint8)
+        w = rng.uniform(0, 1, n)
+        lines = [f"{10} {6} 0 0"]
+        cols = np.empty((n, 35), object)
+        cols[:, 0] = parents
+        cols[:, 1] = 0   # fixed below
+        cols[:, 2:34] = by
+        cols[:, 34] = np.round(w, 6)
+        has_child = np.zeros(n + 1, bool)
+        has_child[parents] = True
+        cols[:, 1] = (~has_child[1:]).astype(int)
+        path = tmp_path / "bigvoc.txt"
+        import io, time
+        buf = io.StringIO()
+        buf.write(lines[0] + "\n")
+        np.savetxt(buf, cols, fmt="%s", delimiter=" ")
+        path.write_text(buf.getvalue())
+
+        t0 = time.perf_counter()
+        voc = Vocabulary.load_text(str(path), levels_up=4)
+        t_load = time.perf_counter() - t0
+        assert voc.k == 10 and voc.L == 6
+        assert voc.n_words == int((~has_child[1:]).sum())
+
+        d = random_descs(512, rng)
+        valid = np.ones(512, bool)
+        t0 = time.perf_counter()
+        node_mid, words = voc.assign_nodes(d, valid)
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        voc.assign_nodes(d, valid)
+        t_steady = time.perf_counter() - t0
+        print(f"[vocab-scale] n_nodes={n} load={t_load:.2f}s "
+              f"descend first={t_first:.2f}s steady={t_steady*1e3:.1f}ms")
+        assert (words >= 0).all() and (words < voc.n_words).all()
+        assert (node_mid >= 0).all()
+        # every reached leaf really is a leaf; spot-check host walk parity
+        leaves = voc.leaf_of_word[words]
+        assert voc.is_leaf[leaves].all()
+        from orb_slam2_tpu.places.vocabulary import _hamming_np
+        for i in range(0, 512, 64):
+            cur = 0
+            while True:
+                ch = voc.node_children[cur]
+                ch = ch[ch >= 0]
+                if len(ch) == 0:
+                    break
+                dist = _hamming_np(d[i:i + 1], voc.node_desc[ch])[0]
+                cur = int(ch[np.argmin(dist)])
+            assert voc.word_of_node[cur] == words[i]
+
+    def test_load_text_rejects_malformed(self, tmp_path):
+        p = tmp_path / "bad.txt"
+        p.write_text("10 6 0 0\n0 1 1 2 3\n")   # wrong column count
+        with pytest.raises(ValueError):
+            Vocabulary.load_text(str(p))
+
 
 class _FakeStore:
     """Minimal store protocol for database tests."""
