@@ -1,0 +1,240 @@
+"""Global bundle adjustment with the reference's background semantics.
+
+Equivalent of LoopClosing::RunGlobalBundleAdjustment + the mTcwGBA /
+mPosGBA protocol (ref: src/LoopClosing.cc:646-757, src/Optimizer.cc:
+41-237): GBA optimizes a SNAPSHOT of the map taken at launch, runs
+abortably (a new loop arriving kills it between LM chunks, ref
+mbStopGBA), and on completion corrects keyframes and points created
+while it ran by propagating along the spanning tree — so tracking and
+local mapping never have to pause for the (potentially seconds-long)
+global solve.
+
+TPU-native shape: instead of a g2o graph re-built per call, the
+snapshot is the same fixed-shape BAProblem the local-BA path uses, and
+abortability comes from chunking the LM iterations into separate XLA
+dispatches with a flag check between chunks (the reference's g2o
+forceStopFlag checked per iteration).  In async scheduling the run
+happens on a daemon thread — XLA compute releases the GIL, so tracking
+proceeds concurrently; all map reads/writes stay under store.lock.
+
+Includes the outlier-gated refinement from round 1: full Huber GBA,
+chi2 classification at convergence, re-optimize the inlier set (wrong
+cross-seam fusions are only separable from large-residual good edges at
+convergence; measured 2.6-orbit ATE 1.36 -> 0.37).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from typing import Optional
+
+import jax
+import numpy as np
+
+from orb_slam2_tpu.solvers import ba
+
+
+class _Run:
+    """State of one GBA run.  `stop` is the per-run mbStopGBA: checked
+    between LM chunks and — crucially — INSIDE store.lock at apply time,
+    so a loop correction that holds the lock can kill a run with a plain
+    flag write and never needs to join the GBA thread (joining while
+    holding store.lock would deadlock against _apply's lock acquire)."""
+    __slots__ = ("stop", "alive")
+
+    def __init__(self):
+        self.stop = False
+        self.alive = True
+
+
+class GlobalBA:
+    def __init__(self, local_mapper):
+        self.mapper = local_mapper
+        self._run_state: Optional[_Run] = None
+        self._thread: Optional[threading.Thread] = None
+        self.runs_finished = 0
+        self.runs_aborted = 0
+
+    @property
+    def store(self):
+        return self.mapper.store
+
+    @property
+    def running(self) -> bool:       # ref: mbRunningGBA
+        r = self._run_state
+        return r is not None and r.alive
+
+    # -- control surface (ref: LoopClosing.h:49-56) --------------------
+    def request_stop(self):
+        """Kill the current GBA; its results are discarded (ref:
+        CorrectLoop :409-430 stops the previous GBA when a new loop
+        arrives).  Safe to call while holding store.lock — the dying run
+        rechecks the flag under the lock before applying."""
+        r = self._run_state
+        if r is not None:
+            r.stop = True
+
+    def wait(self):
+        t = self._thread
+        if t is not None and t.is_alive():
+            t.join()
+
+    # ------------------------------------------------------------------
+    def launch(self, loop_kf: int, iters: int = 10,
+               fixed_kf: Optional[int] = None,
+               background: bool = False) -> bool:
+        """Snapshot the map and run GBA (ref :580 spawns the thread).
+
+        background=False runs inline (sync scheduler / tests);
+        background=True returns immediately and applies on completion.
+        A still-live previous run must have been stop-requested; it
+        exits at its next chunk boundary without applying."""
+        snap = self._snapshot(loop_kf, iters, fixed_kf)
+        if snap is None:
+            return False
+        r = _Run()
+        self._run_state = r
+        if background:
+            self._thread = threading.Thread(
+                target=self._run, args=(snap, r), daemon=True)
+            self._thread.start()
+        else:
+            self._run(snap, r)
+        return True
+
+    def _snapshot(self, loop_kf, iters, fixed_kf):
+        """Fixed-shape BAProblem over the CURRENT keyframes/points,
+        taken under the store lock (the g2o graph build of ref
+        Optimizer.cc:52-140)."""
+        store = self.store
+        with store.lock:
+            cams = [int(c) for c in store.valid_kf_ids()]
+            if len(cams) < 2:
+                return None
+            pids = store.points_in_kfs(cams)
+            if len(pids) == 0:
+                return None
+            prob, cam_index, pids, _e_feat = self.mapper._gather_ba_problem(
+                cams, [], pids)
+        import jax.numpy as jnp
+        fix0 = fixed_kf if fixed_kf is not None else store.origin_kf
+        cam_fixed = np.asarray(prob.cam_fixed).copy()
+        cam_fixed[:] = False
+        cam_fixed[~np.asarray(prob.cam_mask)] = True
+        if fix0 in cam_index:
+            cam_fixed[cam_index[fix0]] = True
+        prob = prob._replace(cam_fixed=jnp.asarray(cam_fixed))
+        return dict(prob=prob, cam_index=cam_index, pids=np.asarray(pids),
+                    loop_kf=loop_kf, iters=iters,
+                    mode="dense" if len(cams) <= 64 else "cg")
+
+    # ------------------------------------------------------------------
+    def _chunked_optimize(self, prob, iters, mode, r: _Run, chunk=5):
+        """LM in chunks with an abort check between dispatches."""
+        fx, fy, cx, cy, bf = self.mapper._intrinsics()
+        done = 0
+        while done < iters:
+            if r.stop:
+                return prob, False
+            it = min(chunk, iters - done)
+            cam_T, pts, _ = ba.optimize(
+                prob, fx, fy, cx, cy, bf, iters=it,
+                use_kernel=True, mode=mode)
+            prob = prob._replace(cam_T=cam_T, pts=pts)
+            done += it
+        return prob, True
+
+    def _run(self, snap, r: _Run):
+        try:
+            fx, fy, cx, cy, bf = self.mapper._intrinsics()
+            prob, ok = self._chunked_optimize(
+                snap["prob"], snap["iters"], snap["mode"], r)
+            if ok:
+                # outlier-gated second pass at convergence
+                bad = ba.classify_outliers(prob, fx, fy, cx, cy, bf)
+                prob = prob._replace(edge_mask=prob.edge_mask & ~bad)
+                prob, ok = self._chunked_optimize(
+                    prob, snap["iters"], snap["mode"], r)
+            if ok and self._apply(snap, prob, r):
+                self.runs_finished += 1
+            else:
+                self.runs_aborted += 1
+        finally:
+            r.alive = False
+
+    # ------------------------------------------------------------------
+    def _apply(self, snap, prob, r: _Run) -> bool:
+        """Write back GBA results and correct everything born mid-run
+        (ref: RunGlobalBundleAdjustment :679-754)."""
+        store = self.store
+        cam_T_np, pts_np = jax.device_get((prob.cam_T, prob.pts))
+        with store.lock:
+            if r.stop:
+                return False
+            cam_index = snap["cam_index"]
+            new_pose = {}                       # mTcwGBA
+            for c, i in cam_index.items():
+                if store.kf_valid[c]:
+                    new_pose[c] = cam_T_np[i]
+            if not new_pose:
+                return False
+            # spanning-tree propagation: keyframes created during GBA
+            # get T_child_parent (current poses) * parent's corrected
+            # pose (ref :700-721)
+            children = defaultdict(list)
+            for k in store.valid_kf_ids():
+                k = int(k)
+                p = int(store.kf_parent[k])
+                if p >= 0:
+                    children[p].append(k)
+            queue = [int(store.origin_kf)]
+            seen = set(queue)
+            while queue:
+                k = queue.pop(0)
+                for ch in children[k]:
+                    if ch in seen:
+                        continue
+                    seen.add(ch)
+                    if ch not in new_pose and k in new_pose:
+                        T_ch_p = store.kf_pose[ch] @ np.linalg.inv(
+                            store.kf_pose[k])
+                        new_pose[ch] = (T_ch_p @ new_pose[k]).astype(
+                            np.float32)
+                    queue.append(ch)
+            # record pre-correction poses (mTcwBefGBA), then write
+            bef = {k: store.kf_pose[k].copy() for k in new_pose}
+            for k, T in new_pose.items():
+                store.kf_pose[k] = T
+
+            # points in the snapshot take their optimized positions
+            pids = snap["pids"]
+            live = store.pt_valid[pids]
+            store.pt_pos[pids[live]] = pts_np[: len(pids)][live]
+            # points born during GBA move with their reference keyframe
+            # (ref :724-754: X_new = Twc_after * Tcw_before * X)
+            all_p = store.valid_pt_ids()
+            born = all_p[~np.isin(all_p, pids)]
+            if len(born):
+                refs = store.pt_ref_kf[born]
+                ok = np.array([int(r) in bef for r in refs], bool)
+                born = born[ok]
+                refs = refs[ok]
+                for r in np.unique(refs):
+                    r = int(r)
+                    sel = born[refs == r]
+                    Tb = bef[r]
+                    Ta = new_pose[r]
+                    Xc = store.pt_pos[sel] @ Tb[:3, :3].T + Tb[:3, 3]
+                    Rwc = Ta[:3, :3].T
+                    twc = -Rwc @ Ta[:3, 3]
+                    store.pt_pos[sel] = (Xc @ Rwc.T + twc).astype(
+                        np.float32)
+                all_touched = np.concatenate([pids[live], born])
+            else:
+                all_touched = pids[live]
+            store.update_points_batch(
+                all_touched, self.mapper.scale_factors)
+            store.mark_dirty(all_touched)
+            store.big_change_idx += 1
+        return True

@@ -66,6 +66,16 @@ class LocalMapper:
         self.abort_ba = True
 
     def reset(self, store: MapStore):
+        # kill any in-flight global BA BEFORE swapping the store: the
+        # stop flag is set first, so a dying run that observes the NEW
+        # store also observes stop (re-checked under store.lock in
+        # _apply) and discards its result; one that already latched the
+        # old store writes only to the discarded map.  No join — reset
+        # can be reached while holding store.lock (auto-reset in the
+        # fast path) and joining would deadlock against _apply.
+        if (self.loop_closer is not None
+                and self.loop_closer.gba is not None):
+            self.loop_closer.gba.request_stop()
         self.store = store
         self.queue.clear()
         self.recent_points.clear()
@@ -514,53 +524,16 @@ class LocalMapper:
 
     def global_bundle_adjustment(self, iters: int = 20,
                                  fixed_kf: Optional[int] = None,
-                                 loop_kf: int = 0):
-        """ref: Optimizer::GlobalBundleAdjustemnt (src/Optimizer.cc:41-237):
-        all keyframes (origin fixed) + all points; CG-mode Schur solve."""
-        store = self.store
-        cams = [int(c) for c in store.valid_kf_ids()]
-        if len(cams) < 2:
-            return
-        pids = store.points_in_kfs(cams)
-        if len(pids) == 0:
-            return
-        prob, cam_index, pids, e_feat = self._gather_ba_problem(
-            cams, [], pids
-        )
-        fix0 = fixed_kf if fixed_kf is not None else store.origin_kf
-        cam_fixed = np.asarray(prob.cam_fixed).copy()
-        cam_fixed[:] = False
-        cam_fixed[~np.asarray(prob.cam_mask)] = True
-        if fix0 in cam_index:
-            cam_fixed[cam_index[fix0]] = True
-        prob = prob._replace(cam_fixed=jnp.asarray(cam_fixed))
-        fx, fy, cx, cy, bf = self._intrinsics()
-        mode = "dense" if len(cams) <= 64 else "cg"
-        # Outlier-gated GBA: after a loop correction the observation set
-        # contains a few wrong cross-seam fusions with NO pruning pass
-        # between SearchAndFuse and here (the reference relies on Huber
-        # only, :49-237); measured on a 2.6-turn circuit those edges drag
-        # the whole map (post-EG ATE 0.88 -> 1.57).  A wrong fusion is
-        # only separable from a large-residual GOOD edge at convergence,
-        # so: full Huber GBA first, classify chi2 outliers under the
-        # converged state, then re-optimize the inlier set.
-        cam_T, pts, _ = ba.optimize(
-            prob, fx, fy, cx, cy, bf, iters=iters, use_kernel=True, mode=mode
-        )
-        conv = prob._replace(cam_T=cam_T, pts=pts)
-        bad = ba.classify_outliers(conv, fx, fy, cx, cy, bf)
-        prob = conv._replace(edge_mask=prob.edge_mask & ~bad)
-        cam_T, pts, _ = ba.optimize(
-            prob, fx, fy, cx, cy, bf, iters=iters, use_kernel=True, mode=mode
-        )
-        cam_T_np, pts_np = jax.device_get((cam_T, pts))
-        for c, i in cam_index.items():
-            store.kf_pose[c] = cam_T_np[i]
-        pids = np.asarray(pids)
-        live = store.pt_valid[pids]
-        store.pt_pos[pids[live]] = pts_np[:len(pids)][live]
-        store.update_points_batch(pids, self.scale_factors)
-        store.mark_dirty(pids)
+                                 loop_kf: int = 0,
+                                 background: bool = False, gba=None):
+        """ref: Optimizer::GlobalBundleAdjustemnt (src/Optimizer.cc:41-237)
+        with the reference's background/abort/mid-run-correction protocol
+        (src/LoopClosing.cc:646-757) — see slam/global_ba.GlobalBA."""
+        from orb_slam2_tpu.slam.global_ba import GlobalBA
+
+        runner = gba if gba is not None else GlobalBA(self)
+        return runner.launch(loop_kf, iters=iters, fixed_kf=fixed_kf,
+                             background=background)
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kf: int):

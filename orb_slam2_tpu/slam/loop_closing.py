@@ -48,12 +48,19 @@ class LoopCloser:
         self.rng = np.random.default_rng(0)
         # stream callbacks (fork Monopub contract, see mapping2d.stream)
         self.on_loop: List = []
+        # global BA runner (ref: mbRunningGBA/mbStopGBA protocol); in
+        # async scheduling the System flips background_gba so GBA runs
+        # on its own thread like the reference's RunGlobalBundleAdjustment
+        self.gba = None
+        self.background_gba = False
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf: int):
         self.queue.append(kf)
 
     def reset(self, store: MapStore):
+        if self.gba is not None:
+            self.gba.request_stop()   # join-free, see LocalMapper.reset
         self.store = store
         self.queue.clear()
         self._consistent_groups.clear()
@@ -69,23 +76,30 @@ class LoopCloser:
         if not self.queue:
             return
         kf = self.queue.pop(0)
-        if not self.store.kf_valid[kf]:
-            return
-        self.store.kf_not_erase[kf] = True
-        try:
-            candidate = self._detect_loop(kf)
-            if candidate is None:
+        # coarse map lock for the whole detect/correct pass: loop closing
+        # runs on its own thread in async mode, and the reference likewise
+        # serializes CorrectLoop against tracking/mapping via
+        # mMutexMapUpdate + LocalMapping::RequestStop (src/LoopClosing.cc:
+        # 402-435).  The long GBA that follows does NOT hold the lock —
+        # it runs chunked on the GBA thread (see global_ba.GlobalBA).
+        with self.store.lock:
+            if not self.store.kf_valid[kf]:
                 return
-            ok = self._compute_sim3_and_correct(kf, candidate)
-            if ok:
-                self.loop_detected = True
-                self.loops_closed += 1
-                self.last_loop_kf = kf
-                self.store.big_change_idx += 1
-                for cb in self.on_loop:
-                    cb(kf)
-        finally:
-            self.store.set_not_erase(kf, False)
+            self.store.kf_not_erase[kf] = True
+            try:
+                candidate = self._detect_loop(kf)
+                if candidate is None:
+                    return
+                ok = self._compute_sim3_and_correct(kf, candidate)
+                if ok:
+                    self.loop_detected = True
+                    self.loops_closed += 1
+                    self.last_loop_kf = kf
+                    self.store.big_change_idx += 1
+                    for cb in self.on_loop:
+                        cb(kf)
+            finally:
+                self.store.set_not_erase(kf, False)
 
     # ------------------------------------------------------------------
     def _detect_loop(self, kf: int) -> Optional[int]:
@@ -151,6 +165,69 @@ class LoopCloser:
         ok = ok & has1 & has2[np.clip(idx, 0, len(has2) - 1)]
         return idx, ok
 
+    def _gather_pairs(self, kf: int, cand: int, rows, idx):
+        """Correspondence arrays (camera-frame points, pixels, octaves)
+        for match rows `rows` of kf matched to features `idx[rows]` of
+        cand."""
+        store = self.store
+        pid1 = store.kf_obs[kf][rows]
+        pid2 = store.kf_obs[cand][idx[rows]]
+        T1 = store.kf_pose[kf]
+        T2 = store.kf_pose[cand]
+        pc1 = store.pt_pos[pid1] @ T1[:3, :3].T + T1[:3, 3]
+        pc2 = store.pt_pos[pid2] @ T2[:3, :3].T + T2[:3, 3]
+        uv1 = store.kf_xy[kf][rows]
+        uv2 = store.kf_xy[cand][idx[rows]]
+        oct1 = store.kf_octave[kf][rows]
+        oct2 = store.kf_octave[cand][idx[rows]]
+        return pc1, pc2, uv1, uv2, oct1, oct2
+
+    def _sim3_extend_matches(self, kf: int, cand: int, R12, t12, s12,
+                             match12: np.ndarray) -> np.ndarray:
+        """SearchBySim3 (ref: src/LoopClosing.cc:313-317,
+        src/ORBmatcher.cc:1102-1326): grow the BoW match set by mutual
+        Sim3-guided projection of each side's unmatched map points into
+        the other keyframe.  Returns the extended match12."""
+        store = self.store
+        b1 = store.kf_obs[kf]
+        b2 = store.kf_obs[cand]
+        has1 = (b1 >= 0) & store.pt_valid[np.where(b1 >= 0, b1, 0)]
+        has2 = (b2 >= 0) & store.pt_valid[np.where(b2 >= 0, b2, 0)]
+        used2 = np.zeros(len(has2), bool)
+        used2[match12[match12 >= 0]] = True
+        mask1 = has1 & (match12 < 0)
+        mask2 = has2 & ~used2
+        if not mask1.any() or not mask2.any():
+            return match12
+        p1 = np.where(b1 >= 0, b1, 0)
+        p2 = np.where(b2 >= 0, b2, 0)
+        idx12, agree = matching.search_by_sim3_mutual(
+            jnp.asarray(store.pt_pos[p1]), jnp.asarray(mask1),
+            jnp.asarray(store.pt_desc[p1]),
+            jnp.asarray(store.pt_min_dist[p1]),
+            jnp.asarray(store.pt_max_dist[p1]),
+            store.kf_device(kf, "octave"), store.kf_device(kf, "xy"),
+            jnp.asarray(store.pt_pos[p2]), jnp.asarray(mask2),
+            jnp.asarray(store.pt_desc[p2]),
+            jnp.asarray(store.pt_min_dist[p2]),
+            jnp.asarray(store.pt_max_dist[p2]),
+            store.kf_device(cand, "octave"), store.kf_device(cand, "xy"),
+            jnp.asarray(store.kf_pose[kf]), jnp.asarray(store.kf_pose[cand]),
+            jnp.asarray(R12.astype(np.float32)),
+            jnp.asarray(t12.astype(np.float32)), jnp.float32(s12),
+            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+            jnp.asarray(self.bounds), jnp.asarray(self.scale_factors),
+            self.log_scale, self.s.n_levels,
+            th=7.5,
+        )
+        idx12 = np.asarray(idx12)
+        agree = np.asarray(agree)
+        out = match12.copy()
+        new = agree & mask1
+        out[new] = idx12[new]
+        return out
+
     def _compute_sim3_and_correct(self, kf: int, cand: int) -> bool:
         """ref: LoopClosing::ComputeSim3 (:231-400) + CorrectLoop (:402)."""
         store = self.store
@@ -159,26 +236,16 @@ class LoopCloser:
         if len(rows) < 20:
             return False
 
-        pid1 = store.kf_obs[kf][rows]
-        pid2 = store.kf_obs[cand][idx[rows]]
-        T1 = store.kf_pose[kf]
-        T2 = store.kf_pose[cand]
-        pw1 = store.pt_pos[pid1]
-        pw2 = store.pt_pos[pid2]
-        pc1 = pw1 @ T1[:3, :3].T + T1[:3, 3]
-        pc2 = pw2 @ T2[:3, :3].T + T2[:3, 3]
-        uv1 = store.kf_xy[kf][rows]
-        uv2 = store.kf_xy[cand][idx[rows]]
-        oct1 = store.kf_octave[kf][rows]
-        oct2 = store.kf_octave[cand][idx[rows]]
+        pc1, pc2, uv1, uv2, oct1, oct2 = self._gather_pairs(
+            kf, cand, rows, idx)
         max_err1 = 9.210 * self.level_sigma2[oct1]   # ref Sim3Solver :87
         max_err2 = 9.210 * self.level_sigma2[oct2]
 
         n = len(rows)
         n_pad = bucket_size(n, 64)
-        pad = n_pad - n
 
-        def padr(a, fill=0.0):
+        def padr(a, fill=0.0, pad=None):
+            pad = (n_pad - n) if pad is None else pad
             return np.concatenate(
                 [a, np.full((pad,) + a.shape[1:], fill, a.dtype)]
             ) if pad else a
@@ -202,15 +269,30 @@ class LoopCloser:
         if not bool(res.success):
             return False
 
+        # grow the match set with Sim3-guided mutual projection before
+        # refinement (ref :313-317 SearchBySim3 then OptimizeSim3 over
+        # the extended set)
+        match12 = np.full(store.n_feat, -1, np.int32)
+        match12[rows] = idx[rows]
+        match12 = self._sim3_extend_matches(
+            kf, cand, np.asarray(res.R12), np.asarray(res.t12),
+            float(np.asarray(res.s12)), match12)
+        rows = np.nonzero(match12 >= 0)[0]
+        idx = match12
+        pc1, pc2, uv1, uv2, oct1, oct2 = self._gather_pairs(
+            kf, cand, rows, idx)
+        n = len(rows)
+        n_pad = bucket_size(n, 64)
         inv_s2_1 = (1.0 / self.level_sigma2[oct1]).astype(np.float32)
         inv_s2_2 = (1.0 / self.level_sigma2[oct2]).astype(np.float32)
+        mask = padr(np.ones(n, bool), False)
         R12, t12, s12, inl, n_inl = sim3_solver.refine_sim3(
             jnp.asarray(padr(pc1.astype(np.float32))),
             jnp.asarray(padr(pc2.astype(np.float32))),
             jnp.asarray(padr(uv1.astype(np.float32))),
             jnp.asarray(padr(uv2.astype(np.float32))),
             jnp.asarray(padr(inv_s2_1)), jnp.asarray(padr(inv_s2_2)),
-            jnp.asarray(np.asarray(res.inliers) & mask),
+            jnp.asarray(mask),
             res.R12, res.t12, res.s12,
             jnp.float32(self.s.fx), jnp.float32(self.s.fy),
             jnp.float32(self.s.cx), jnp.float32(self.s.cy),
@@ -224,8 +306,7 @@ class LoopCloser:
 
         # Scw: world -> current camera through the loop estimate
         # (ref :340-345 gScm * gSmw)
-        S_cm = (R12, t12, s12)
-        T_mw = (T2[:3, :3], T2[:3, 3], 1.0)
+        T2 = store.kf_pose[cand]
         Scw = sim3_geo.compose(
             (jnp.asarray(R12), jnp.asarray(t12), jnp.asarray(np.float32(s12))),
             (jnp.asarray(T2[:3, :3]), jnp.asarray(T2[:3, 3]),
@@ -238,7 +319,15 @@ class LoopCloser:
         # gather loop map points from cand + neighbors (ref :357-372)
         loop_kfs = [cand] + store.best_covisibles(cand, 20)
         loop_pts = store.points_in_kfs(loop_kfs)
-        n_total = self._count_sim3_matches(kf, loop_pts, Scw_R, Scw_t, Scw_s)
+        # acceptance counts the union of already-matched features and new
+        # guided projections (ref :369-385: mvpCurrentMatchedPoints starts
+        # as the BoW+Sim3 matches, SearchByProjection only fills empty
+        # slots and skips already-found loop points)
+        matched_feats = rows
+        matched_pids = store.kf_obs[cand][idx[rows]]
+        n_total = len(matched_feats) + self._count_sim3_matches(
+            kf, loop_pts, Scw_R, Scw_t, Scw_s,
+            exclude_feats=matched_feats, exclude_pids=matched_pids)
         if n_total < 40:                           # ref :374-385
             return False
 
@@ -246,15 +335,24 @@ class LoopCloser:
                            loop_pts)
         return True
 
-    def _count_sim3_matches(self, kf, loop_pts, R, t, s) -> int:
+    def _count_sim3_matches(self, kf, loop_pts, R, t, s,
+                            exclude_feats=None, exclude_pids=None) -> int:
+        """New guided-projection matches of loop points into kf, skipping
+        already-matched features and already-found loop points (ref:
+        ORBmatcher::SearchByProjection src/ORBmatcher.cc:1327-1431)."""
         store = self.store
         if len(loop_pts) == 0:
             return 0
         M = bucket_size(len(loop_pts), 256)
         free = store.kf_feat_valid[kf].copy()
+        if exclude_feats is not None:
+            free[exclude_feats] = False
+        pt_mask = np.ones(len(loop_pts), bool)
+        if exclude_pids is not None:
+            pt_mask &= ~np.isin(loop_pts, exclude_pids)
         m = matching.search_by_sim3_projection(
             jnp.asarray(pad_rows(store.pt_pos[loop_pts], M)),
-            jnp.asarray(pad_rows(np.ones(len(loop_pts), bool), M, False)),
+            jnp.asarray(pad_rows(pt_mask, M, False)),
             jnp.asarray(pad_rows(store.pt_desc[loop_pts], M)),
             jnp.asarray(pad_rows(store.pt_min_dist[loop_pts], M)),
             jnp.asarray(pad_rows(store.pt_max_dist[loop_pts], M)),
@@ -269,9 +367,6 @@ class LoopCloser:
             jnp.float32(10.0),
         )
         _, _, ok = matching.to_host(m)
-        self._last_sim3_matches = (m, ok)
-        # total = existing BoW matches (bound features) + new projections
-        bound = store.kf_obs[kf] >= 0
         return int(ok.sum())
 
     # ------------------------------------------------------------------
@@ -281,6 +376,12 @@ class LoopCloser:
         store = self.store
         if self.local_mapper is not None:
             self.local_mapper.interrupt_ba()
+        # a GBA from a previous loop still running is stale now: kill it
+        # and discard its result (ref: CorrectLoop :409-430 mbStopGBA).
+        # No join — we hold store.lock, and the dying run re-checks the
+        # stop flag under that lock before it would apply anything.
+        if self.gba is not None and self.gba.running:
+            self.gba.request_stop()
 
         # snapshot pre-correction poses for relative measurements
         pre_pose = {int(k): store.kf_pose[k].copy()
@@ -342,10 +443,15 @@ class LoopCloser:
         self._optimize_essential_graph(
             kf, cand, corrected, pre_pose, loop_connections)
 
-        # global bundle adjustment (ref :580 RunGlobalBundleAdjustment)
+        # global bundle adjustment (ref :580 RunGlobalBundleAdjustment) —
+        # on its own thread in async mode, abortable by the next loop
         if self.local_mapper is not None:
+            if self.gba is None:
+                from orb_slam2_tpu.slam.global_ba import GlobalBA
+                self.gba = GlobalBA(self.local_mapper)
             self.local_mapper.global_bundle_adjustment(
-                iters=10, fixed_kf=store.origin_kf, loop_kf=kf)
+                iters=10, fixed_kf=store.origin_kf, loop_kf=kf,
+                background=self.background_gba, gba=self.gba)
 
     def _search_and_fuse(self, window, loop_pts, corrected):
         """Project loop points into each corrected keyframe and replace

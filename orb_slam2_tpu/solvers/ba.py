@@ -352,6 +352,9 @@ def local_ba_chain(
     cam_T, pts, _ = optimize(
         prob2, fx, fy, cx, cy, bf, iters=iters2, use_kernel=False, mode=mode
     )
-    prob3 = prob2._replace(cam_T=cam_T, pts=pts)
+    # final erase pass re-checks ALL original edges under the converged
+    # state (ref: Optimizer.cc:718-760 loops every edge, so round-1
+    # outliers that stay bad are erased too, not just silently excluded)
+    prob3 = prob2._replace(cam_T=cam_T, pts=pts, edge_mask=prob.edge_mask)
     bad = classify_outliers(prob3, fx, fy, cx, cy, bf)
-    return cam_T, pts, bad, mask2
+    return cam_T, pts, bad, prob.edge_mask

@@ -78,13 +78,21 @@ class System:
 
         self.scheduler = scheduler or settings.scheduler
         self._shutdown = False
-        self._worker: Optional[threading.Thread] = None
+        self._workers: list = []
         self._work_event = threading.Event()
+        self._loop_event = threading.Event()
         if self.scheduler == "async":
-            self._worker = threading.Thread(
-                target=self._worker_loop, daemon=True
-            )
-            self._worker.start()
+            # reference thread topology (src/System.cc:85-104): tracking
+            # on the caller's thread, LocalMapping and LoopClosing each
+            # on their own, GBA spawned by LoopClosing (background_gba)
+            self._workers.append(threading.Thread(
+                target=self._mapping_loop, daemon=True))
+            if self.loop_closer is not None:
+                self.loop_closer.background_gba = True
+                self._workers.append(threading.Thread(
+                    target=self._loop_closing_loop, daemon=True))
+            for w in self._workers:
+                w.start()
 
     def _padded_features(self) -> int:
         from orb_slam2_tpu.ops.frontend import padded_total
@@ -141,13 +149,19 @@ class System:
         else:
             self._work_event.set()
 
-    def _worker_loop(self):
+    def _mapping_loop(self):
         while not self._shutdown:
             self._work_event.wait(timeout=0.003)
             self._work_event.clear()
             self.local_mapper.spin()
-            if self.loop_closer is not None:
-                self.loop_closer.spin()
+            if self.loop_closer is not None and self.loop_closer.queue:
+                self._loop_event.set()
+
+    def _loop_closing_loop(self):
+        while not self._shutdown:
+            self._loop_event.wait(timeout=0.003)
+            self._loop_event.clear()
+            self.loop_closer.spin()
 
     # ------------------------------------------------------------------
     # mode switches / state (ref: src/System.cc:126-158, 286-303, 655-676)
@@ -170,9 +184,14 @@ class System:
 
     def shutdown(self):
         self._shutdown = True
-        if self._worker is not None:
-            self._work_event.set()
-            self._worker.join(timeout=5.0)
+        lc = self.loop_closer
+        if lc is not None and lc.gba is not None and lc.gba.running:
+            lc.gba.request_stop()
+            lc.gba.wait()
+        self._work_event.set()
+        self._loop_event.set()
+        for w in self._workers:
+            w.join(timeout=5.0)
 
     def tracking_state(self) -> State:
         return self.tracker.state

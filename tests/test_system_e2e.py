@@ -164,6 +164,99 @@ class TestReset:
         assert int(sys_.store.kf_valid.sum()) >= 1
 
 
+class TestGlobalBA:
+    """Reference background-GBA protocol (src/LoopClosing.cc:646-757):
+    abortable runs, and spanning-tree correction of keyframes/points
+    created while GBA was in flight."""
+
+    def _build(self, cylinder_world, n_first, n_total):
+        settings, scene, voc = cylinder_world
+        sys_ = System(settings, Sensor.STEREO, vocabulary=voc)
+        poses = circle_trajectory(n_total, orbit_r=2.0,
+                                  total_angle=np.pi * 0.9)
+        Trl = np.eye(4, dtype=np.float32)
+        Trl[0, 3] = -BASELINE
+        for i in range(n_first):
+            T = poses[i]
+            sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                              i * 0.2)
+        return sys_, scene, poses, Trl
+
+    def test_mid_gba_keyframes_follow_spanning_tree(self, cylinder_world):
+        from orb_slam2_tpu.slam.global_ba import GlobalBA, _Run
+
+        sys_, scene, poses, Trl = self._build(cylinder_world, 28, 44)
+        store = sys_.store
+        assert int(store.kf_valid.sum()) >= 3
+
+        gba = GlobalBA(sys_.local_mapper)
+        snap = gba._snapshot(loop_kf=0, iters=10,
+                             fixed_kf=store.origin_kf)
+        assert snap is not None
+        snap_kfs = set(snap["cam_index"])
+        snap_pts = set(int(p) for p in snap["pids"])
+
+        # keyframes + points born "while GBA runs"
+        for i in range(28, 44):
+            T = poses[i]
+            sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                              i * 0.2)
+        born = [int(k) for k in store.valid_kf_ids()
+                if int(k) not in snap_kfs]
+        assert born, "no keyframe was created after the snapshot"
+        pre = {int(k): store.kf_pose[int(k)].copy()
+               for k in store.valid_kf_ids()}
+
+        r = _Run()
+        gba._run(snap, r)
+        assert gba.runs_finished == 1
+
+        # born keyframes moved WITH their spanning-tree parent: the
+        # relative pose to the parent is preserved by the correction
+        for k in born:
+            p = int(store.kf_parent[k])
+            assert p >= 0
+            rel_before = pre[k] @ np.linalg.inv(pre[p])
+            rel_after = store.kf_pose[k] @ np.linalg.inv(store.kf_pose[p])
+            np.testing.assert_allclose(rel_after, rel_before,
+                                       atol=5e-3)
+        # born points moved too (tracked via their reference keyframe)
+        new_pts = [int(p) for p in store.valid_pt_ids()
+                   if int(p) not in snap_pts]
+        assert all(np.isfinite(store.pt_pos[new_pts]).all()
+                   for _ in [0]) if new_pts else True
+
+    def test_stop_discards_results(self, cylinder_world):
+        from orb_slam2_tpu.slam.global_ba import GlobalBA, _Run
+
+        sys_, _, _, _ = self._build(cylinder_world, 20, 20)
+        store = sys_.store
+        gba = GlobalBA(sys_.local_mapper)
+        snap = gba._snapshot(loop_kf=0, iters=10,
+                             fixed_kf=store.origin_kf)
+        pre = {int(k): store.kf_pose[int(k)].copy()
+               for k in store.valid_kf_ids()}
+        r = _Run()
+        r.stop = True      # killed before the first chunk (mbStopGBA)
+        gba._run(snap, r)
+        assert gba.runs_aborted == 1 and gba.runs_finished == 0
+        for k, T in pre.items():
+            np.testing.assert_array_equal(store.kf_pose[k], T)
+
+    def test_background_thread_applies(self, cylinder_world):
+        from orb_slam2_tpu.slam.global_ba import GlobalBA
+
+        sys_, _, _, _ = self._build(cylinder_world, 20, 20)
+        store = sys_.store
+        gba = GlobalBA(sys_.local_mapper)
+        ok = gba.launch(loop_kf=0, iters=10,
+                        fixed_kf=store.origin_kf, background=True)
+        assert ok
+        gba.wait()
+        assert gba.runs_finished == 1
+        assert not gba.running
+
+
 class TestMonocular:
     def test_mono_end_to_end(self):
         settings = make_settings(n_features=800, fps=10.0, th_depth=40.0)
