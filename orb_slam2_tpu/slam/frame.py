@@ -94,7 +94,7 @@ class FrameBuilder:
             s.dist_coeffs if s.has_distortion else None,
         )
 
-    def prefetch(self, *imgs: np.ndarray) -> None:
+    def prefetch(self, *imgs: np.ndarray, depth: np.ndarray = None) -> None:
         """Start async uploads for images that will be tracked NEXT.
 
         A real-time driver has dead time between frames (camera period /
@@ -102,24 +102,43 @@ class FrameBuilder:
         h2d transfer off the tracked frame's critical path — over the
         remote-TPU tunnel that transfer is the single biggest per-frame
         cost.  Keyed by object identity; consumed by the next _upload of
-        the same array."""
+        the same array.  `depth` is uploaded float32 (RGB-D)."""
         self._prefetched = {
             id(im): jnp.asarray(
                 im if im.dtype == np.uint8
                 else np.clip(im, 0, 255).astype(np.uint8))
             for im in imgs if im is not None
         }
+        if depth is not None:
+            self._prefetched[id(depth)] = jnp.asarray(
+                depth if depth.dtype == np.float32
+                else depth.astype(np.float32))
 
-    def _upload(self, img: np.ndarray) -> jnp.ndarray:
-        """Host->device image upload as uint8 (4x less tunnel traffic than
-        f32; the frontend casts on device)."""
+    def _take_prefetched(self, img):
         pre = getattr(self, "_prefetched", None)
         if pre:
             dev = pre.pop(id(img), None)
             if dev is not None and dev.shape == img.shape:
                 return dev
+        return None
+
+    def _upload(self, img: np.ndarray) -> jnp.ndarray:
+        """Host->device image upload as uint8 (4x less tunnel traffic than
+        f32; the frontend casts on device)."""
+        dev = self._take_prefetched(img)
+        if dev is not None and dev.dtype == jnp.uint8:
+            return dev
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
+        return jnp.asarray(img)
+
+    def _upload_depth(self, img: np.ndarray) -> jnp.ndarray:
+        """Float32 upload for RGB-D depth images (no uint8 quantization)."""
+        dev = self._take_prefetched(img)
+        if dev is not None and dev.dtype == jnp.float32:
+            return dev
+        if img.dtype != np.float32:
+            img = img.astype(np.float32)
         return jnp.asarray(img)
 
     def _extract(self, img: np.ndarray, n_features: int):

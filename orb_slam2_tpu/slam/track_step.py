@@ -71,33 +71,46 @@ def _octave_compat(last_oct, feat_oct, fwd, bwd):
     return jnp.where(fwd, fo >= lo, jnp.where(bwd, fo <= lo, band))
 
 
-def _step_cache_key(s, sensor_stereo: bool):
+def _sensor_mode(sensor_stereo) -> str:
+    """Accept the legacy bool (True=stereo) or a mode string."""
+    if isinstance(sensor_stereo, str):
+        return sensor_stereo
+    return "stereo" if sensor_stereo else "mono"
+
+
+def _step_cache_key(s, mode: str):
     """Every settings field the compiled step closes over."""
     return (float(s.fx), float(s.fy), float(s.cx), float(s.cy),
             float(s.bf), int(s.n_features), int(s.n_levels),
             float(s.scale_factor), int(s.ini_th_fast), int(s.min_th_fast),
-            int(s.width), int(s.height), bool(sensor_stereo))
+            int(s.width), int(s.height), str(mode),
+            float(getattr(s, "depth_map_factor", 1.0)))
 
 
 _STEP_CACHE = {}
 
 
-def build_track_step(settings, sensor_stereo: bool):
+def build_track_step(settings, sensor_stereo):
     """Memoized on the settings values: a fresh System/Tracker with the
     same configuration reuses the already-traced (and XLA-compiled) step
     instead of re-tracing a new jit wrapper.  (The axon tunnel does not
     serve JAX's persistent compile cache, so without this every System
-    instance pays the full 9-40s compile again.)"""
-    key = ("fast",) + _step_cache_key(settings, sensor_stereo)
+    instance pays the full 9-40s compile again.)
+
+    `sensor_stereo`: "stereo" | "mono" | "rgbd" (bool accepted: True=
+    stereo).  For rgbd the step's img_r input is the FLOAT depth image."""
+    mode = _sensor_mode(sensor_stereo)
+    key = ("fast",) + _step_cache_key(settings, mode)
     if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = _build_track_step(settings, sensor_stereo)
+        _STEP_CACHE[key] = _build_track_step(settings, mode)
     return _STEP_CACHE[key]
 
 
-def _build_track_step(settings, sensor_stereo: bool):
+def _build_track_step(settings, mode: str):
     """Returns a jitted step(img_l, img_r, T_pred, last block, local block,
     fwd, bwd) -> TrackOut closure for fixed shapes."""
     s = settings
+    sensor_stereo = mode == "stereo"
     fx, fy = np.float32(s.fx), np.float32(s.fy)
     cx, cy = np.float32(s.cx), np.float32(s.cy)
     bf = np.float32(s.bf)
@@ -109,7 +122,11 @@ def _build_track_step(settings, sensor_stereo: bool):
     bounds = np.array([0.0, s.width, 0.0, s.height], np.float32)
     log_sf = float(np.log(s.scale_factor))
     n_levels = s.n_levels
-    th_mm = 7.0 if sensor_stereo else 15.0
+    th_mm = 7.0 if sensor_stereo else 15.0   # ref: Tracking.cc:880
+    # RGB-D depth scaling (ref: Frame RGB-D ctor src/Frame.cc:119-171)
+    dfac = float(getattr(s, "depth_map_factor", 1.0))
+    if abs(dfac - 1.0) > 1e-9 and dfac != 0:
+        dfac = 1.0 / dfac
 
     @jax.jit
     def step(
@@ -147,7 +164,7 @@ def _build_track_step(settings, sensor_stereo: bool):
             loc_mask = loc_mask & (loc_excl == 0)
 
         # ---- 1. frontend ------------------------------------------------
-        if sensor_stereo:
+        if mode == "stereo":
             feats, sm = frontend.extract_stereo_pair(
                 img_l, img_r, sf, bf, np.float32(s.fx),
                 n_features=s.n_features, n_levels=n_levels,
@@ -155,6 +172,18 @@ def _build_track_step(settings, sensor_stereo: bool):
                 min_th=s.min_th_fast,
             )
             ur, depth = sm.u_right, sm.depth
+        elif mode == "rgbd":
+            from orb_slam2_tpu.ops import stereo as stereo_ops
+
+            feats = frontend.extract(
+                img_l, n_features=s.n_features, n_levels=n_levels,
+                scale_factor=s.scale_factor, ini_th=s.ini_th_fast,
+                min_th=s.min_th_fast,
+            )
+            # img_r carries the float depth image; depth lookup at raw
+            # keypoints + synthetic right coord (ref: Frame.cc:643-664)
+            ur, depth = stereo_ops.depth_from_rgbd(
+                feats.xy, feats.valid, img_r, dfac, bf)
         else:
             feats = frontend.extract(
                 img_l, n_features=s.n_features, n_levels=n_levels,
@@ -383,12 +412,16 @@ class ChainState(NamedTuple):
                              # a full matching window)
 
 
-def build_track_step_chained(settings, sensor_stereo: bool):
-    """Memoized like build_track_step (same rationale)."""
-    key = ("chain",) + _step_cache_key(settings, sensor_stereo)
+def build_track_step_chained(settings, sensor_stereo):
+    """Memoized like build_track_step (same rationale).  Stereo/mono
+    only — RGB-D uses the non-pipelined fast step."""
+    mode = _sensor_mode(sensor_stereo)
+    if mode == "rgbd":
+        raise ValueError("chained step does not support rgbd")
+    key = ("chain",) + _step_cache_key(settings, mode)
     if key not in _STEP_CACHE:
         _STEP_CACHE[key] = _build_track_step_chained(
-            settings, sensor_stereo)
+            settings, mode == "stereo")
     return _STEP_CACHE[key]
 
 

@@ -141,23 +141,28 @@ class Tracker:
     # fused fast path: ONE compiled step + ONE sync per steady frame
     # ------------------------------------------------------------------
     def _can_fast(self) -> bool:
+        # all three sensors ride the fused step; localization mode does
+        # too unless the VO flag is up (the reference then runs motion
+        # model + relocalization side by side, src/Tracking.cc:345-390 —
+        # that stays on the modular path)
         return (
             self.use_fast_path
             and self.state == State.OK
             and self.velocity is not None
-            and not self.only_tracking
-            and self.sensor in (Sensor.STEREO, Sensor.MONOCULAR)
+            and not (self.only_tracking and self.vo_flag)
             and len(self.local_pts) > 0
             and self.last_frame is not None
             and (self.current is None or
                  self.current.frame_id >= self.last_reloc_frame_id + 2)
         )
 
+    def _step_mode(self) -> str:
+        return {Sensor.STEREO: "stereo", Sensor.RGBD: "rgbd"}.get(
+            self.sensor, "mono")
+
     def _get_fast_step(self):
         if self._fast_step is None:
-            self._fast_step = ts.build_track_step(
-                self.s, self.sensor == Sensor.STEREO
-            )
+            self._fast_step = ts.build_track_step(self.s, self._step_mode())
         return self._fast_step
 
     def _track_fast(self, img_l, img_r, timestamp) -> Optional[np.ndarray]:
@@ -169,8 +174,12 @@ class Tracker:
         step = self._get_fast_step()
         with self.timers("fast/dispatch"):
             img_l_d = self.builder._upload(img_l)
-            img_r_d = (self.builder._upload(img_r)
-                       if img_r is not None else img_l_d)
+            if img_r is None:
+                img_r_d = img_l_d
+            elif self.sensor == Sensor.RGBD:
+                img_r_d = self.builder._upload_depth(img_r)
+            else:
+                img_r_d = self.builder._upload(img_r)
             out = step(
                 img_l_d, img_r_d, jnp.asarray(scal),
                 jnp.asarray(last_f32), jnp.asarray(last_desc),
@@ -307,7 +316,14 @@ class Tracker:
             store.pt_visible[np.unique(bound_now)] += 1
             inl_ids = bindings[(bindings >= 0) & res.inlier]
             store.pt_found[inl_ids] += 1
-            n_map = int(np.sum(store.pt_n_obs[inl_ids] >= 1))
+            n_obs_matches = int(np.sum(store.pt_n_obs[inl_ids] >= 1))
+            if self.only_tracking:
+                # ref: Tracking.cc:388-392 mbVO; :961-970 counts every
+                # inlier match (temporal VO points included)
+                self.vo_flag = n_obs_matches < 10
+                n_map = len(inl_ids)
+            else:
+                n_map = n_obs_matches
             self.n_inliers = n_map
             ok = n_map >= 30
         self._fallback_used = not ok
@@ -325,6 +341,12 @@ class Tracker:
                 pid = int(frame.bindings[i])
                 if store.pt_valid[pid] and store.obs.count(pid) == 0:
                     frame.bindings[i] = -1
+            # delete temporal VO points (ref :441-448; created by
+            # _update_last_frame in localization mode)
+            if self.temporal_points:
+                for pid in self.temporal_points:
+                    store.set_point_bad(pid)
+                self.temporal_points.clear()
             if self._need_new_keyframe():
                 with self.timers("create_keyframe"):
                     self._assign_frame_bow(frame)
@@ -621,6 +643,10 @@ class Tracker:
         return self._track(frame)
 
     def grab_rgbd(self, img, depth, timestamp: float) -> Optional[np.ndarray]:
+        if self._can_fast():
+            with self.timers("fast_step"):
+                return self._track_fast(img, depth, timestamp)
+        self._flush_pipeline()
         with self.timers("frame_build"):
             frame = self.builder.rgbd(img, depth, timestamp)
         return self._track(frame)

@@ -135,8 +135,11 @@ class System:
         frame rate) to overlap the host->device image transfer with idle
         time — the equivalent of a camera pipeline DMA-ing the next frame
         while the current one is processed.  Safe no-op if the images
-        passed later differ."""
-        self.builder.prefetch(*imgs)
+        passed later differ.  For RGB-D pass (rgb, depth)."""
+        if self.sensor == Sensor.RGBD and len(imgs) == 2:
+            self.builder.prefetch(imgs[0], depth=imgs[1])
+        else:
+            self.builder.prefetch(*imgs)
 
     def _pump(self):
         if self.store is not self.tracker.store:

@@ -119,6 +119,31 @@ class TestRGBDPipeline:
         assert est[-1] is not None
         err = np.linalg.norm(center_of(est[-1]) - center_of(poses[-1]))
         assert err < 0.06
+        # RGB-D steady frames ride the fused fast step (one dispatch)
+        assert sys_.tracker.timers.counts.get("fast_step", 0) >= 2
+
+    def test_rgbd_fast_path_matches_modular(self):
+        """The fused RGB-D step (depth sampled in-graph) must land on the
+        same trajectory as the modular path within tracking noise."""
+        settings = make_settings()
+        poses = straight_trajectory(8, step=0.03, yaw_step=0.002)
+        scene = PlaneScene(settings.K, H, W)
+
+        def run(fast):
+            sys_ = System(settings, Sensor.RGBD)
+            sys_.tracker.use_fast_path = fast
+            out = []
+            for i, T in enumerate(poses):
+                out.append(sys_.track_rgbd(
+                    scene.render(T), scene.depth_at(T), i * 0.1))
+            return out
+
+        fast = run(True)
+        slow = run(False)
+        for Tf, Ts in zip(fast[2:], slow[2:]):
+            assert Tf is not None and Ts is not None
+            d = np.linalg.norm(center_of(Tf) - center_of(Ts))
+            assert d < 0.02, d
 
 
 class TestLocalizationMode:
@@ -141,6 +166,9 @@ class TestLocalizationMode:
             est.append((i, T))
         assert int(sys_.map.kf_valid.sum()) == n_kf       # map frozen
         assert sys_.tracking_state().name == "OK"
+        # localization mode rides the fused fast step too (no KF side
+        # effects; ref: Tracking.cc:328-392)
+        assert sys_.tracker.timers.counts.get("fast_step", 0) >= 2
         T0 = poses[0]
         for i, T in est:
             assert T is not None
