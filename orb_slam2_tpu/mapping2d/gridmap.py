@@ -188,6 +188,128 @@ def save_grid_map_pgm(store, path: str,
     m.save_pgm(path)
 
 
+def save_grid_map_tum(store, path: str):
+    """Exact behavioral port of the fork's System::SaveGridMapTUM
+    (ref: src/System.cc:481-629): fixed 450x300 grid over the camera
+    x-y plane, upper-left corner (-1.5, -2.5), 10 mm cells, one
+    occupied count per in-range map point, integer-error Bresenham
+    visit rays from every observing keyframe, and the same ASCII P2
+    grey mapping (unvisited=230, grey = occup/visit*255 boosted by
+    +100 when nonzero, written as 255-grey).
+
+    Two reference quirks are reproduced so outputs stay comparable
+    cell-for-cell:
+
+    - the endpoint-exchange branch (System.cc `if (x0 > x1)`) assigns
+      the *_grid_y / *_grid_x values unconditionally, which for
+      non-steep rays mixes the x and y grid coordinates;
+    - the resulting out-of-range second index in `grid_visit[x][y]`
+      aliases into subsequent rows of the contiguous [450][300]
+      buffer, which we emulate by flat indexing (writes that would
+      land beyond the whole buffer — C UB — are dropped).
+
+    The Bresenham error loop is vectorized across all rays: each
+    numpy step replays one `for (x = x0; x <= x1; x++)` iteration of
+    every ray simultaneously with identical integer/double semantics.
+    """
+    ul_x, ul_y = -1.5, -2.5
+    res = 10
+    w_, h_ = 450, 300
+
+    occup = np.zeros(w_ * h_, np.float64)   # flat [x][y] like the C arrays
+    visit = np.zeros(w_ * h_, np.float64)
+
+    def cells_of(px, py):
+        # C: ((int)((p - ul) * 1000)) / 10 — both steps truncate toward 0
+        gx = np.trunc(np.trunc((px - ul_x) * 1000.0) / res).astype(np.int64)
+        gy = np.trunc(np.trunc((py - ul_y) * 1000.0) / res).astype(np.int64)
+        return gx, gy
+
+    pts = store.valid_pt_ids()
+    if len(pts) == 0:
+        grid = np.full((h_, w_), 230, np.int64)
+        _write_p2(grid, path)
+        return
+
+    pos = store.pt_pos[pts].astype(np.float32)
+    mp_gx, mp_gy = cells_of(pos[:, 0].astype(np.float64),
+                            pos[:, 1].astype(np.float64))
+    inb = (mp_gx >= 0) & (mp_gx < w_) & (mp_gy >= 0) & (mp_gy < h_)
+
+    rays = []  # (okf_gx, okf_gy, mp_gx, mp_gy)
+    kf_cell_cache: dict = {}
+    for pid, gx, gy, ok in zip(pts, mp_gx, mp_gy, inb):
+        if not ok:
+            continue
+        occup[int(gx) * h_ + int(gy)] += 1.0
+        for kf, _feat in store.obs.items(int(pid)):
+            if not store.kf_valid[kf]:
+                continue
+            c = kf_cell_cache.get(kf)
+            if c is None:
+                cc = store.camera_center(kf)
+                kx, ky = cells_of(np.float64(cc[0]), np.float64(cc[1]))
+                c = (int(kx), int(ky),
+                     0 <= kx < w_ and 0 <= ky < h_)
+                kf_cell_cache[kf] = c
+            if c[2]:
+                rays.append((c[0], c[1], int(gx), int(gy)))
+
+    if rays:
+        r = np.asarray(rays, np.int64)
+        okx, oky, mpx, mpy = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+        steep = np.abs(mpy - oky) > np.abs(mpx - okx)
+        x0 = np.where(steep, oky, okx)
+        y0 = np.where(steep, okx, oky)
+        x1 = np.where(steep, mpy, mpx)
+        y1 = np.where(steep, mpx, mpy)
+        swap = x0 > x1
+        # reference quirk: the exchange uses *_grid_y / *_grid_x
+        # regardless of `steep` (System.cc:576-583)
+        x0 = np.where(swap, mpy, x0)
+        x1 = np.where(swap, oky, x1)
+        y0 = np.where(swap, mpx, y0)
+        y1 = np.where(swap, okx, y1)
+        deltax = x1 - x0
+        deltay = np.abs(y1 - y0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            deltaerr = deltay.astype(np.float64) / deltax.astype(np.float64)
+        ystep = np.where(y0 < y1, 1, -1).astype(np.int64)
+        err = np.zeros(len(r), np.float64)
+        y = y0.copy()
+        n_steps = int(max(deltax.max(), 0))
+        for i in range(n_steps + 1):
+            act = i <= deltax                       # x = x0+i <= x1
+            x = x0 + i
+            fidx = np.where(steep, y * h_ + x, x * h_ + y)
+            sel = act & (fidx >= 0) & (fidx < w_ * h_)
+            np.add.at(visit, fidx[sel], 1.0)
+            err = err + deltaerr
+            dec = err >= 0.5                        # NaN compares False
+            y = y + ystep * np.where(act & dec, 1, 0)
+            err = err - np.where(dec, 1.0, 0.0)
+
+    occ2 = occup.reshape(w_, h_)
+    vis2 = visit.reshape(w_, h_)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = occ2 / vis2
+    grey = np.trunc(np.where(vis2 == 0, 0.0, ratio) * 255).astype(np.int64)
+    grey = np.where(grey > 0, grey + 100, grey)
+    grey = np.minimum(grey, 255)
+    out = np.where(vis2 == 0, 230, 255 - grey)      # [x][y]
+    _write_p2(out.T, path)                          # rows over y, cols x
+
+
+def _write_p2(grid: np.ndarray, path: str):
+    """Reference's exact P2 writer: value + trailing space per cell,
+    newline per row (ref: src/System.cc:605-625)."""
+    h, w = grid.shape
+    with open(path, "w") as f:
+        f.write(f"P2\n{w} {h}\n255\n")
+        for row in grid:
+            f.write("".join(f"{int(v)} " for v in row) + "\n")
+
+
 def grid_from_timestamped_points(points_path: str,
                                  params: Optional[GridParams] = None,
                                  kf_trajectory_path: Optional[str] = None

@@ -265,10 +265,13 @@ class System:
         self.store.export_points_with_timestamps(path)
 
     def save_grid_map_tum(self, path: str):
-        """Fork feature (ref: System::SaveGridMapTUM src/System.cc:481-629)."""
-        from orb_slam2_tpu.mapping2d.gridmap import save_grid_map_pgm
+        """Fork feature — exact port of System::SaveGridMapTUM
+        (ref: src/System.cc:481-629): fixed 450x300 grid, cell-for-cell
+        comparable output. For the configurable Monosub-style grid use
+        `mapping2d.gridmap.save_grid_map_pgm`."""
+        from orb_slam2_tpu.mapping2d.gridmap import save_grid_map_tum
 
-        save_grid_map_pgm(self.store, path)
+        save_grid_map_tum(self.store, path)
 
     def save_2d_map_points_tum(self, path: str):
         """Fork feature (ref: System::Save2dMapPointsTUM src/System.cc:631)."""

@@ -283,6 +283,111 @@ class TestGridMap:
         # behind the wall stays unknown
         assert (occ[35] == 128).all()
 
+    def test_save_grid_map_tum_matches_reference_semantics(self, tmp_path):
+        """Cell-for-cell golden: the vectorized save_grid_map_tum must
+        reproduce a direct scalar transliteration of the reference's
+        SaveGridMapTUM loops (src/System.cc:481-629), including C int
+        truncation, the coordinate-mixing endpoint-exchange quirk, and
+        flat-buffer index aliasing."""
+        from orb_slam2_tpu.mapping2d.gridmap import save_grid_map_tum
+        from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
+
+        rng = np.random.default_rng(3)
+        n = 16
+        m = MapStore(n)
+        ff = FrameFeatures(
+            xy=np.zeros((n, 2), np.float32),
+            xy_raw=np.zeros((n, 2), np.float32),
+            ur=np.full(n, 1.0, np.float32),
+            depth=np.full(n, 1.0, np.float32),
+            octave=np.zeros(n, np.int32),
+            angle=np.zeros(n, np.float32),
+            desc=np.zeros((n, 8), np.uint32),
+            valid=np.ones(n, bool),
+            node=np.full(n, -1, np.int32),
+            word=np.full(n, -1, np.int32),
+        )
+        centers = [(-0.5, -1.0, 0.0), (1.0, 0.2, 0.5), (2.5, -2.0, 1.0),
+                   (9.0, 9.0, 0.0)]        # last is out of grid range
+        kfs = []
+        for c in centers:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = -np.asarray(c, np.float32)   # R=I -> center = c
+            kfs.append(m.add_keyframe(ff, T, 0.0, 0))
+        # points scattered across (and beyond) the fixed grid window
+        pids = []
+        for i in range(60):
+            p = np.array([rng.uniform(-2.2, 3.6), rng.uniform(-3.2, 1.2),
+                          rng.uniform(0, 3)], np.float32)
+            pid = m.add_point(p, kfs[i % 3], ff.desc[0])
+            for k in range(len(kfs)):
+                if rng.random() < 0.6:
+                    m.add_observation(pid, kfs[k], i % n)
+            pids.append(pid)
+
+        got = tmp_path / "got.pgm"
+        save_grid_map_tum(m, str(got))
+
+        # --- independent scalar transliteration of the C code ---
+        ul_x, ul_y, res, w_, h_ = -1.5, -2.5, 10, 450, 300
+        occup = np.zeros(w_ * h_)
+        visit = np.zeros(w_ * h_)
+
+        def cell(v, ul):
+            a = int((v - ul) * 1000.0)          # C (int) cast: trunc
+            return int(a / res) if a >= 0 else -int(-a / res)
+
+        for pid in m.valid_pt_ids():
+            x, y, _ = m.pt_pos[pid]
+            gx, gy = cell(float(x), ul_x), cell(float(y), ul_y)
+            if not (0 <= gx < w_ and 0 <= gy < h_):
+                continue
+            occup[gx * h_ + gy] += 1
+            for kf, _f in m.obs.items(int(pid)):
+                if not m.kf_valid[kf]:
+                    continue
+                cc = m.camera_center(kf)
+                kx, ky = cell(float(cc[0]), ul_x), cell(float(cc[1]), ul_y)
+                if not (0 <= kx < w_ and 0 <= ky < h_):
+                    continue
+                x0, y0, x1, y1 = kx, ky, gx, gy
+                steep = abs(y1 - y0) > abs(x1 - x0)
+                if steep:
+                    x0, y0, x1, y1 = ky, kx, gy, gx
+                if x0 > x1:
+                    x0, x1, y0, y1 = gy, ky, gx, kx
+                deltax = x1 - x0
+                deltay = abs(y1 - y0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    deltaerr = np.float64(deltay) / np.float64(deltax)
+                err, y = 0.0, y0
+                ystep = 1 if y0 < y1 else -1
+                for xx in range(x0, x1 + 1):
+                    fidx = y * h_ + xx if steep else xx * h_ + y
+                    if 0 <= fidx < w_ * h_:
+                        visit[fidx] += 1
+                    err = err + deltaerr
+                    if err >= 0.5:
+                        y += ystep
+                        err -= 1.0
+        lines = ["P2", f"{w_} {h_}", "255"]
+        for i in range(h_):
+            row = []
+            for j in range(w_):
+                v = visit[j * h_ + i]
+                if v == 0:
+                    row.append("230 ")
+                    continue
+                grey = int(occup[j * h_ + i] / v * 255)
+                if grey > 0:
+                    grey += 100
+                grey = min(grey, 255)
+                row.append(f"{255 - grey} ")
+            lines.append("".join(row))
+        want = "\n".join(lines) + "\n"
+
+        assert got.read_text() == want
+
     def test_pgm_roundtrip(self, tmp_path):
         from orb_slam2_tpu.mapping2d.gridmap import save_pgm
 
