@@ -135,6 +135,58 @@ class TestTriangulation:
         )
         np.testing.assert_allclose(X, pts, atol=5e-2)
 
+    def test_degenerate_pairs_fail_new_point_gates(self):
+        """The inhomogeneous DLT (w=1) differs from the reference's SVD
+        null-vector exactly for near-infinite / parallel-ray systems;
+        the fast path's correctness rests on CreateNewMapPoints' gates
+        rejecting those — pin that invariant (ref: src/LocalMapping.cc:
+        288-431 depth/parallax/chi2 gates)."""
+        from orb_slam2_tpu.solvers.triangulation import triangulate_and_gate
+
+        n = 8
+        rng = np.random.default_rng(11)
+        T1 = np.eye(4, dtype=np.float32)
+
+        def gate(T2, xy1, xy2):
+            res = triangulate_and_gate(
+                jnp.asarray(T1), jnp.asarray(T2.astype(np.float32)),
+                jnp.asarray(xy1.astype(np.float32)),
+                jnp.asarray(xy2.astype(np.float32)),
+                jnp.full(n, -1.0, jnp.float32), jnp.full(n, -1.0, jnp.float32),
+                jnp.full(n, -1.0, jnp.float32), jnp.full(n, -1.0, jnp.float32),
+                jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32),
+                jnp.ones(n, bool),
+                jnp.float32(K[0, 0]), jnp.float32(K[1, 1]),
+                jnp.float32(K[0, 2]), jnp.float32(K[1, 2]), jnp.float32(10.0),
+                jnp.asarray(1.2 ** np.arange(8, dtype=np.float32)),
+                jnp.asarray(1.44 ** np.arange(8, dtype=np.float32)),
+            )
+            return np.asarray(res.good)
+
+        # (a) pure rotation: identical camera centers -> parallel rays,
+        # singular normal equations; every candidate must be rejected
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = Rotation.from_euler("y", 2, degrees=True).as_matrix()
+        pts = make_world(rng, n)
+        uv1 = project(pts)
+        uv2 = project(pts @ T2[:3, :3].T + T2[:3, 3])
+        assert not gate(T2, uv1, uv2).any()
+
+        # (b) near-zero parallax (mono): tiny baseline, far points —
+        # cos(rays) > 0.9998 and no stereo fallback -> rejected
+        T2 = np.eye(4, dtype=np.float32)
+        T2[0, 3] = 1e-4
+        far = pts * np.array([1, 1, 500], np.float32)
+        uv1 = project(far)
+        uv2 = project(far @ T2[:3, :3].T + T2[:3, 3])
+        assert not gate(T2, uv1, uv2).any()
+
+        # control: a well-conditioned pair passes for most candidates
+        T2 = cam_pose(rng, rot_deg=3, trans=0.5)
+        uv1 = project(pts)
+        uv2 = project(pts @ T2[:3, :3].T + T2[:3, 3])
+        assert gate(T2, uv1, uv2).sum() >= n - 2
+
 
 class TestHorn:
     def test_rigid_recovery(self):
