@@ -119,9 +119,15 @@ class Tracker:
         # keyframe insertion cannot see its new points.  Round-2 plan:
         # one-frame keyframe lookahead.  Default OFF.
         self.pipelined = bool(getattr(settings, "pipelined", False))
+        # how many dispatched-but-unpulled frames may be in flight: depth
+        # d hides the device->host RTT behind d frames of host work
+        # (results drain opportunistically as they become ready)
+        self.pipeline_depth = int(getattr(settings, "pipeline_depth", 3))
+        # re-anchor the chain from host state at least every N frames
+        self.chain_max_age = int(getattr(settings, "chain_max_age", 4))
         self._chain_step = None
         self._chain = None            # device ChainState
-        self._pending = None          # (TrackOut, meta dict)
+        self._pending = []            # FIFO of (TrackOut, meta dict)
 
     def refresh_calibration(self):
         """Rebuild every camera-dependent cache after a calibration
@@ -134,7 +140,7 @@ class Tracker:
         self._fast_step = None
         self._chain_step = None
         self._chain = None
-        self._pending = None
+        self._pending = []
         self._loc_cache = None
 
     # ------------------------------------------------------------------
@@ -451,26 +457,49 @@ class Tracker:
             velocity=jnp.asarray(self.velocity.astype(np.float32)),
         )
 
+    def _drain_one_pending(self) -> Optional[np.ndarray]:
+        """Pull + apply the OLDEST in-flight frame.  Returns its pose and
+        updates the chain-health flags; on tracking failure the whole
+        pipeline (chain + remaining in-flight frames, which extend the
+        failed state) is dropped."""
+        pending = self._pending.pop(0)
+        pose = self._process_pulled(*pending)
+        if self.state != State.OK or self.last_frame is None:
+            self._pending = []
+            self._chain = None
+            return pose
+        if self.last_kf_frame_id == self.last_frame.frame_id:
+            # KF/BA ran: serialize until tracking re-anchors to the
+            # updated map (in-flight dispatches cannot see its points)
+            self._chain_dirty = 2
+        elif self.n_inliers < 60 or getattr(self, "_fallback_used", False):
+            # weak tracking, or the host DISCARDED the device pose via
+            # the modular fallback: the chain in flight extends a pose
+            # the host rejected — force a re-anchor before it can
+            # corrupt the map
+            self._chain_dirty = 2
+        return pose
+
     def _track_pipelined(self, img_l, img_r, timestamp):
         store = self.store
         dmap = self._get_device_map()
 
         # The chain's poses still ride the map frame from dispatch time;
         # point data comes fresh from the device mirror.  Re-anchor the
-        # chain from host state occasionally and after keyframes (BA).
-        # re-anchor every other frame: one chained (blind) frame between
-        # host anchors bounds velocity-chain drift to a single frame while
-        # still hiding the pull RTT on half the frames
+        # chain from host state every `chain_max_age` frames and after
+        # keyframes/weak frames (chain_dirty); between anchors, frames
+        # are dispatched blind (device trust gate bounds drift) and up
+        # to `pipeline_depth` results stay in flight, draining whenever
+        # the tunnel delivers them — the RTT disappears behind host work.
         self._chain_age = getattr(self, "_chain_age", 0) + 1
-        refresh = (self._chain is None or self._chain_age >= 2
+        refresh = (self._chain is None
+                   or self._chain_age >= self.chain_max_age
                    or getattr(self, "_chain_dirty", 0) > 0)
         pose_pre = None
         if refresh:
-            if self._pending is not None:
-                pending, self._pending = self._pending, None
-                pose_pre = self._process_pulled(*pending)
+            while self._pending:
+                pose_pre = self._drain_one_pending()
                 if self.state != State.OK or self.last_frame is None:
-                    self._chain = None
                     return pose_pre
             # drain mapping BEFORE re-anchoring so the fresh chain and
             # candidate list see the newest triangulations/BA (exact
@@ -513,40 +542,32 @@ class Tracker:
             jnp.asarray(cand_pids), jnp.asarray(scal),
         )
         out.f32_pack.copy_to_host_async()
-        meta = dict(timestamp=timestamp, M=M, cand=cand_pids)
-
-        pose = pose_pre
-        if self._pending is not None:
-            pose = self._process_pulled(*self._pending)
-            if self.state != State.OK or self.last_frame is None:
-                # the chain fed to the new dispatch was built on a failed
-                # frame: drop it and fall back next frame
-                self._pending = None
-                self._chain = None
-                return pose
-            if self.last_kf_frame_id == self.last_frame.frame_id:
-                # KF/BA ran: serialize the next two frames so tracking
-                # re-anchors to the updated map before pipelining resumes
-                self._chain_dirty = 2
-            elif self.n_inliers < 60 or getattr(
-                    self, "_fallback_used", False):
-                # weak tracking, or the host DISCARDED the device pose via
-                # the modular fallback: the chain in flight extends a pose
-                # the host rejected — force a re-anchor before it can
-                # corrupt the map
-                self._chain_dirty = 2
-        self._pending = (out, meta)
+        self._pending.append(
+            (out, dict(timestamp=timestamp, M=M, cand=cand_pids)))
         self._chain = new_chain
-        # One-frame latency: the freshly dispatched frame's pose is not on
-        # host yet.  Return the motion-model PREDICTION for the current
-        # frame (velocity o last pose — same prior the in-flight step
-        # refines) so callers get a pose aligned with THIS timestamp; the
-        # authoritative trajectory entries are written when each frame is
-        # pulled, with its own timestamp.
+
+        # opportunistic drain: process whatever the tunnel has already
+        # delivered; block only when the pipeline is over depth
+        pose = pose_pre
+        while self._pending and (
+                len(self._pending) > self.pipeline_depth
+                or self._pending[0][0].f32_pack.is_ready()):
+            pose = self._drain_one_pending()
+            if self.state != State.OK or self.last_frame is None:
+                return pose
+            if getattr(self, "_chain_dirty", 0) > 0:
+                break    # next call re-anchors; drain the rest there
+        # The freshly dispatched frames' poses are not on host yet.
+        # Return the motion-model PREDICTION for the current frame
+        # (velocity composed over the unprocessed lag) so callers get a
+        # pose aligned with THIS timestamp; the authoritative trajectory
+        # entries are written when each frame is pulled.
         if (self.state == State.OK and self.last_frame is not None
                 and self.velocity is not None
                 and self.last_frame.Tcw is not None):
-            return (self.velocity @ self.last_frame.Tcw).astype(np.float32)
+            lag = max(len(self._pending), 1)
+            pred = np.linalg.matrix_power(self.velocity, lag)
+            return (pred @ self.last_frame.Tcw).astype(np.float32)
         return pose
 
     def _process_pulled(self, out, meta):
@@ -601,9 +622,12 @@ class Tracker:
                 frame, last, res, cand, last_pids, bindings)
 
     def _flush_pipeline(self):
-        if self._pending is not None:
-            pending, self._pending = self._pending, None
+        while self._pending:
+            pending = self._pending.pop(0)
             self._process_pulled(*pending)
+            if self.state != State.OK or self.last_frame is None:
+                self._pending = []
+                break
         self._chain = None
 
     def _assign_frame_bow(self, frame: Frame):

@@ -108,6 +108,53 @@ def edge_chi2(prob: BAProblem, fx, fy, cx, cy, bf):
     return _chi2(r, row_mask, prob.edge_inv_sigma2), is_st, row_mask[:, 0]
 
 
+def _inv3x3(A):
+    """Batched closed-form (adjugate) 3x3 inverse.
+
+    jnp.linalg.inv lowers tiny batched inverses to an LU loop that is
+    op-latency-bound on TPU; the adjugate is a handful of fused
+    elementwise ops.  Callers guarantee invertibility (Hpp blocks are
+    damped SPD)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A21 = f * g - d * i
+    A31 = d * h - e * g
+    det = a * A11 + b * A21 + c * A31
+    s = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    rows = jnp.stack([
+        jnp.stack([A11, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([A21, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([A31, b * g - a * h, a * e - b * d], -1),
+    ], -2)
+    return rows * s[..., None, None]
+
+
+def _onehots(prob: BAProblem, K: int, P: int):
+    """One-hot edge->camera (E,K) and edge->point (E,P) matrices.
+
+    Segment reductions over the edge list become matmuls on these —
+    TPU scatters serialize, MXU matmuls don't.  Only materialized for
+    local-window problems (dense mode), where E*P stays ~10^7."""
+    Ck = jax.nn.one_hot(prob.edge_cam, K, dtype=jnp.float32)
+    Pm = jax.nn.one_hot(prob.edge_pt, P, dtype=jnp.float32)
+    return Ck, Pm
+
+
+def _seg_sum(values, onehot, seg_ids, num_segments):
+    """Segment-sum as one-hot matmul when available, scatter otherwise.
+
+    values: (E, ...) — flattened to (E, D) for the matmul."""
+    if onehot is None:
+        return jax.ops.segment_sum(values, seg_ids,
+                                   num_segments=num_segments)
+    E = values.shape[0]
+    flat = values.reshape(E, -1)
+    out = onehot.T @ flat                      # (S, D) on the MXU
+    return out.reshape((num_segments,) + values.shape[1:])
+
+
 def _huber_weights(chi2, is_stereo, use_kernel):
     delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     w = jnp.where(
@@ -118,7 +165,8 @@ def _huber_weights(chi2, is_stereo, use_kernel):
     return w
 
 
-def _assemble(prob, cam_T, pts, fx, fy, cx, cy, bf, use_kernel):
+def _assemble(prob, cam_T, pts, fx, fy, cx, cy, bf, use_kernel,
+              onehots=None):
     """Build all blocks of the normal equations."""
     K = cam_T.shape[0]
     P = pts.shape[0]
@@ -139,10 +187,11 @@ def _assemble(prob, cam_T, pts, fx, fy, cx, cy, bf, use_kernel):
     gc_e = jnp.einsum("eik,ei->ek", JcW, r)               # (E, 6)
     gp_e = jnp.einsum("eik,ei->ek", JpW, r)               # (E, 3)
 
-    Hcc = jax.ops.segment_sum(Hcc_e, prob.edge_cam, num_segments=K)
-    Hpp = jax.ops.segment_sum(Hpp_e, prob.edge_pt, num_segments=P)
-    gc = jax.ops.segment_sum(gc_e, prob.edge_cam, num_segments=K)
-    gp = jax.ops.segment_sum(gp_e, prob.edge_pt, num_segments=P)
+    Ck, Pm = onehots if onehots is not None else (None, None)
+    Hcc = _seg_sum(Hcc_e, Ck, prob.edge_cam, K)
+    Hpp = _seg_sum(Hpp_e, Pm, prob.edge_pt, P)
+    gc = _seg_sum(gc_e, Ck, prob.edge_cam, K)
+    gp = _seg_sum(gp_e, Pm, prob.edge_pt, P)
 
     err = jnp.sum(
         jnp.where(
@@ -171,7 +220,8 @@ def _total_error(prob, cam_T, pts, fx, fy, cx, cy, bf, use_kernel):
     return jnp.sum(rho * row_mask[:, 0])
 
 
-def _solve_cameras_dense(Hcc, Hcp_e, Hpp_inv, gc, gp, prob, lam):
+def _solve_cameras_dense(Hcc, Hcp_e, Hpp_inv, gc, gp, prob, lam,
+                         onehots=None):
     """Dense Schur solve for local-BA-sized problems.
 
     Materializes W (K, P, 6, 3) = sum of Hcp blocks — use only when
@@ -179,9 +229,17 @@ def _solve_cameras_dense(Hcc, Hcp_e, Hpp_inv, gc, gp, prob, lam):
     """
     K = Hcc.shape[0]
     P = Hpp_inv.shape[0]
-    flat_idx = prob.edge_cam * P + prob.edge_pt
-    W = jax.ops.segment_sum(Hcp_e, flat_idx, num_segments=K * P)
-    W = W.reshape(K, P, 6, 3)
+    if onehots is not None:
+        Ck, Pm = onehots
+        E = Hcp_e.shape[0]
+        # W[k,p] = sum_e 1[cam=k] 1[pt=p] Hcp_e: expand the (tiny) cam
+        # one-hot into the values, then ONE (P,E)@(E,K*18) MXU matmul
+        tmp = (Ck[:, :, None] * Hcp_e.reshape(E, 1, 18)).reshape(E, K * 18)
+        W = (Pm.T @ tmp).reshape(P, K, 6, 3).transpose(1, 0, 2, 3)
+    else:
+        flat_idx = prob.edge_cam * P + prob.edge_pt
+        W = jax.ops.segment_sum(Hcp_e, flat_idx, num_segments=K * P)
+        W = W.reshape(K, P, 6, 3)
     Y = jnp.einsum("kpab,pbc->kpac", W, Hpp_inv)
     S = -jnp.einsum("kpac,lpbc->klab", Y, W)              # (K, K, 6, 6)
     diag = jnp.arange(K)
@@ -257,21 +315,30 @@ def optimize(
     cg_iters: int = 60,
 ):
     """Run `iters` LM iterations; returns updated (cam_T, pts, final_err)."""
+    # the one-hot reduction matrices are iteration-invariant: build once.
+    # Local-window sizes only — the (E,P) matrix is E*P*4 bytes, so gate
+    # on ~50M entries (200MB); past that (global BA) keep the scatters.
+    E_n = prob.edge_cam.shape[0]
+    P_n = prob.pts.shape[0]
+    onehots = (_onehots(prob, prob.cam_T.shape[0], P_n)
+               if mode == "dense" and E_n * P_n <= 50_000_000 else None)
 
     def lm_iter(carry, _):
         cam_T, pts, lam = carry
         Hcc, Hpp, Hcp_e, gc, gp, err_old = _assemble(
-            prob, cam_T, pts, fx, fy, cx, cy, bf, use_kernel
+            prob, cam_T, pts, fx, fy, cx, cy, bf, use_kernel,
+            onehots=onehots,
         )
         lamI3 = lam * jnp.eye(3, dtype=pts.dtype)
         # regularize padded points so inversion stays sane
         Hpp_d = Hpp + lamI3[None] + (~prob.pt_mask)[:, None, None] * jnp.eye(
             3, dtype=pts.dtype
         )
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = _inv3x3(Hpp_d)
 
         if mode == "dense":
-            dc = _solve_cameras_dense(Hcc, Hcp_e, Hpp_inv, gc, gp, prob, lam)
+            dc = _solve_cameras_dense(Hcc, Hcp_e, Hpp_inv, gc, gp, prob,
+                                      lam, onehots=onehots)
         else:
             dc = _solve_cameras_cg(
                 Hcc, Hcp_e, Hpp_inv, gc, gp, prob, lam, iters=cg_iters
@@ -282,8 +349,9 @@ def optimize(
 
         # back-substitute points: dp = -Hpp^-1 (gp + W^T dc)
         wtd_e = jnp.einsum("eab,ea->eb", Hcp_e, dc[prob.edge_cam])
-        wtd = jax.ops.segment_sum(
-            wtd_e, prob.edge_pt, num_segments=pts.shape[0]
+        wtd = _seg_sum(
+            wtd_e, onehots[1] if onehots is not None else None,
+            prob.edge_pt, pts.shape[0]
         )
         dp = -jnp.einsum("pab,pb->pa", Hpp_inv, gp + wtd)
         dp = jnp.where(prob.pt_mask[:, None], dp, 0.0)

@@ -255,16 +255,20 @@ class TestPipelinedMode:
             s = make_settings()
             s.pipelined = pipelined
             sys_ = System(s, Sensor.STEREO)
-            applied = {}
             for i, (l, r) in enumerate(pairs):
                 sys_.track_stereo(l, r, i * 0.1)
-                lf = sys_.tracker.last_frame
-                if lf is not None and lf.Tcw is not None:
-                    applied[round(lf.timestamp / 0.1)] = lf.Tcw.copy()
             sys_.tracker._flush_pipeline()
-            lf = sys_.tracker.last_frame
-            if lf is not None and lf.Tcw is not None:
-                applied[round(lf.timestamp / 0.1)] = lf.Tcw.copy()
+            # authoritative per-frame poses: recompose trajectory entries
+            # exactly like SaveTrajectoryTUM (Tcr @ ref-KF pose) — with
+            # pipelining, several frames may be applied inside one call,
+            # so sampling last_frame per call would miss frames
+            applied = {}
+            store = sys_.store
+            for e in sys_.tracker.trajectory:
+                if e.lost or not store.kf_valid[e.ref_kf]:
+                    continue
+                applied[round(e.timestamp / 0.1)] = (
+                    e.Tcr @ store.kf_pose[e.ref_kf])
             return applied
 
         seq = run(False)
