@@ -5,8 +5,8 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference must keep up with KITTI's 10 fps dataset rate
 (BASELINE.md; Examples/Stereo/KITTI00-02.yaml:22) on an i7-class CPU;
 the rebuild's north star is >30 FPS on one TPU chip (BASELINE.json).
-vs_baseline is measured FPS / 10 (the dataset rate the reference is
-specified against).
+vs_baseline is measured FPS / 30 (the north-star target, not the
+easier 10 fps dataset rate).
 """
 
 import json
@@ -41,6 +41,11 @@ def main():
         fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
         n_features=2000, fps=10.0, th_depth=35.0,
     )
+    # deep-pipelined tracking: up to pipeline_depth frames in flight,
+    # results drained as the tunnel delivers them — hides the d2h RTT
+    # that otherwise floors every frame (accuracy parity pinned by
+    # tests/test_pipeline.py::TestPipelinedMode)
+    settings.pipelined = True
     n_frames = 20
     poses = straight_trajectory(n_frames, step=0.8, yaw_step=0.002)
     scene, pairs = stereo_sequence(settings.K, H, W, BF / FX, poses)

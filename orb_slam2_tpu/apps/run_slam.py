@@ -43,6 +43,7 @@ def _finish(sys_: System, args, times):
     if times:
         print(f"median tracking time: {times[len(times) // 2]:.4f}")
         print(f"mean tracking time: {sum(times) / len(times):.4f}")
+    print("run stats:", sys_.stats())
     prefix = args.out
     sys_.save_trajectory_tum(prefix + "_CameraTrajectory_TUM.txt")
     sys_.save_keyframe_trajectory_tum(prefix + "_KeyFrameTrajectory_TUM.txt")
@@ -70,7 +71,13 @@ def main(argv=None):
     ap.add_argument("--ar", default=None, metavar="OUT_DIR",
                     help="AR demo (ref: ros_mono_ar.cc): detect a plane, "
                          "anchor a virtual cube, save overlay frames")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="narrate subsystem lifecycle (loop closures, "
+                         "GBA, resets) like the reference's couts")
     args = ap.parse_args(argv)
+    if args.verbose:
+        from orb_slam2_tpu import logs
+        logs.set_verbose()
 
     d = args.driver
     if d == "mono_tum":

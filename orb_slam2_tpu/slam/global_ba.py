@@ -32,6 +32,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from orb_slam2_tpu import logs
 from orb_slam2_tpu.solvers import ba
 
 
@@ -55,6 +56,7 @@ class GlobalBA:
         self._thread: Optional[threading.Thread] = None
         self.runs_finished = 0
         self.runs_aborted = 0
+        self.log = logs.get("loop.gba")
 
     @property
     def store(self):
@@ -93,6 +95,9 @@ class GlobalBA:
         snap = self._snapshot(loop_kf, iters, fixed_kf)
         if snap is None:
             return False
+        self.log.info(
+            "global BA launched (loop kf %d, %d kfs, background=%s)",
+            loop_kf, len(snap["cam_index"]), background)
         r = _Run()
         self._run_state = r
         if background:
@@ -158,8 +163,14 @@ class GlobalBA:
                     prob, snap["iters"], snap["mode"], r)
             if ok and self._apply(snap, prob, r):
                 self.runs_finished += 1
+                self.log.info("global BA finished and applied "
+                              "(%d done, %d aborted)",
+                              self.runs_finished, self.runs_aborted)
             else:
                 self.runs_aborted += 1
+                self.log.info("global BA aborted/discarded "
+                              "(%d done, %d aborted)",
+                              self.runs_finished, self.runs_aborted)
         finally:
             r.alive = False
 

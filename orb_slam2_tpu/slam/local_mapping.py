@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import threading
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +48,7 @@ class LocalMapper:
         self.bounds = np.array([0.0, w, 0.0, h], np.float32)
         self._bounds_dev = jnp.asarray(self.bounds)
         self.current_kf = -1
+        self._spin_lock = threading.Lock()
         self._buckets = StickyBuckets(fuse=512, K=16, P=1024, E=4096, nb=8)
         # per-processed-keyframe callbacks (Monopub stream contract)
         self.on_keyframe: List = []
@@ -85,10 +88,20 @@ class LocalMapper:
         if self.loop_closer is not None:
             self.loop_closer.reset(store)
 
-    def spin(self):
-        """Drain the keyframe queue (ref: LocalMapping::Run loop)."""
-        while self.queue:
-            self.process_one()
+    def spin(self, block: bool = True):
+        """Drain the keyframe queue (ref: LocalMapping::Run loop).
+
+        Only one thread drains at a time.  With block=False the call
+        returns immediately if another thread (the async worker) is
+        already draining — the reference's tracking thread never waits
+        for LocalMapping either."""
+        if not self._spin_lock.acquire(blocking=block):
+            return
+        try:
+            while self.queue:
+                self.process_one()
+        finally:
+            self._spin_lock.release()
 
     # ------------------------------------------------------------------
     def process_one(self):
@@ -398,10 +411,15 @@ class LocalMapper:
         own = store.kf_obs[kf]
         own_pids = own[own >= 0]
         if targets:
-            self._fuse_into_kfs_batch(targets, own_pids)
-            # reverse: fuse all targets' points into the current keyframe
+            # dispatch BOTH fuse directions before pulling either — the
+            # device proposals are validated on the host at apply time
+            # (pt_valid / existing-obs checks), so the reverse pass can
+            # fly while the forward pass is still in the tunnel
+            d_fwd = self._fuse_into_kfs_batch_dispatch(targets, own_pids)
             fuse_cands = store.points_in_kfs(targets)
-            self._fuse_into_kf(kf, fuse_cands)
+            d_rev = self._fuse_into_kf_dispatch(kf, fuse_cands)
+            self._fuse_into_kfs_batch_apply(targets, d_fwd)
+            self._fuse_into_kf_apply(kf, d_rev)
 
         # refresh point stats + connections (ref :536-553), batched
         row = store.kf_obs[kf]
@@ -432,26 +450,28 @@ class LocalMapper:
         pts = pad_rows(store.pt_pos[pids], P)
         pt_mask = pad_rows(np.ones(len(pids), bool), P, False)
 
-        pt_index = {int(p): i for i, p in enumerate(pids)}
-        e_cam, e_pt, e_uv, e_is2, e_feat = [], [], [], [], []
-        for i, pid in enumerate(pids):
-            for c, feat in store.obs.items(int(pid)):
-                if c not in cam_index or not store.kf_valid[c]:
-                    continue
-                u, v = store.kf_xy[c, feat]
-                ur = store.kf_ur[c, feat]
-                e_cam.append(cam_index[c])
-                e_pt.append(i)
-                e_uv.append((u, v, ur))
-                e_is2.append(1.0 / self.level_sigma2[
-                    store.kf_octave[c, feat]])
-                e_feat.append((c, feat))
-        E = self._buckets("E", max(len(e_cam), 1))
-        edge_cam = pad_rows(np.array(e_cam, np.int32), E)
-        edge_pt = pad_rows(np.array(e_pt, np.int32), E)
-        edge_uv = pad_rows(np.array(e_uv, np.float32).reshape(-1, 3), E)
-        edge_is2 = pad_rows(np.array(e_is2, np.float32), E)
-        edge_mask = pad_rows(np.ones(len(e_cam), bool), E, False)
+        # vectorized edge-list assembly: one native bulk dump of every
+        # observation, then numpy filtering — the per-obs Python loop
+        # used to cost more than the whole device solve
+        idxs, kfs_e, feats_e = store.obs.dump(pids)
+        cam_lut = np.full(store.kf_cap, -1, np.int32)
+        for c, i in cam_index.items():
+            cam_lut[c] = i
+        keep_e = (cam_lut[kfs_e] >= 0) & store.kf_valid[kfs_e]
+        idxs, kfs_e, feats_e = idxs[keep_e], kfs_e[keep_e], feats_e[keep_e]
+        e_cam_a = cam_lut[kfs_e]
+        e_uv_a = np.concatenate([
+            store.kf_xy[kfs_e, feats_e],
+            store.kf_ur[kfs_e, feats_e][:, None]], 1).astype(np.float32)
+        e_is2_a = (1.0 / self.level_sigma2[
+            store.kf_octave[kfs_e, feats_e]]).astype(np.float32)
+        e_feat = list(zip(kfs_e.tolist(), feats_e.tolist()))
+        E = self._buckets("E", max(len(e_cam_a), 1))
+        edge_cam = pad_rows(e_cam_a.astype(np.int32), E)
+        edge_pt = pad_rows(idxs.astype(np.int32), E)
+        edge_uv = pad_rows(e_uv_a.reshape(-1, 3), E)
+        edge_is2 = pad_rows(e_is2_a, E)
+        edge_mask = pad_rows(np.ones(len(e_cam_a), bool), E, False)
 
         prob = ba.BAProblem(
             jnp.asarray(cam_T), jnp.asarray(cam_fixed), jnp.asarray(cam_mask),
@@ -477,10 +497,12 @@ class LocalMapper:
         if len(pids) == 0 or len(cams) < 2:
             return
         cam_set = set(cams)
-        fixed = sorted({
-            c for p in pids for c, _f in store.obs.items(int(p))
-            if c not in cam_set and store.kf_valid[c]
-        })
+        # all out-of-window observers, via one native bulk query (the
+        # per-point items() loop was pure-Python per-observation cost)
+        obs_kfs, _ = store.obs.observers_of(pids)
+        fixed = sorted(
+            int(c) for c in obs_kfs
+            if int(c) not in cam_set and store.kf_valid[c])
         # the origin keyframe is ALWAYS held fixed when it appears in the
         # window (ref: src/Optimizer.cc:505 vSE3->setFixed(mnId==0));
         # without this the early map's gauge drifts off the origin every
@@ -491,17 +513,18 @@ class LocalMapper:
             cam_set.discard(origin)
             fixed = sorted(set(fixed) | {origin})
         # gauge: fix origin / first keyframe if present (ref :471-475)
-        with self.store.lock:
+        with self.store.lock, self.timers("lm/ba_gather"):
             prob, cam_index, pids, e_feat = self._gather_ba_problem(
                 cams, fixed, pids
             )
         fx, fy, cx, cy, bf = self._intrinsics()
         # one fused device dispatch for the whole 5-iter / outlier /
         # 10-iter / classify chain, one packed pull of the results
-        cam_T, pts, bad, valid_e = jax.device_get(ba.local_ba_chain(
-            prob, fx, fy, cx, cy, bf, iters1=5, iters2=10, mode="dense",
-            second_round=not self.abort_ba,
-        ))
+        with self.timers("lm/ba_device"):
+            cam_T, pts, bad, valid_e = jax.device_get(ba.local_ba_chain(
+                prob, fx, fy, cx, cy, bf, iters1=5, iters2=10, mode="dense",
+                second_round=not self.abort_ba,
+            ))
 
         # erase outlier observations (ref :718-760)
         self.store.lock.acquire()
@@ -512,14 +535,15 @@ class LocalMapper:
                 store.erase_observation(pid, c)
 
         # write back (ref :760-779)
-        fixed_set = set(fixed)
-        for c, i in cam_index.items():
-            if c not in fixed_set:
-                store.kf_pose[c] = cam_T[i]
-        live = store.pt_valid[pids]
-        store.pt_pos[pids[live]] = pts[:len(pids)][live]
-        store.update_points_batch(pids, self.scale_factors)
-        store.mark_dirty(pids)
+        with self.timers("lm/ba_writeback"):
+            fixed_set = set(fixed)
+            for c, i in cam_index.items():
+                if c not in fixed_set:
+                    store.kf_pose[c] = cam_T[i]
+            live = store.pt_valid[pids]
+            store.pt_pos[pids[live]] = pts[:len(pids)][live]
+            store.update_points_batch(pids, self.scale_factors)
+            store.mark_dirty(pids)
         self.store.lock.release()
 
     def global_bundle_adjustment(self, iters: int = 20,

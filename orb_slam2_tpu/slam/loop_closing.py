@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Set, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from orb_slam2_tpu import logs
 from orb_slam2_tpu.config import Sensor, Settings
 from orb_slam2_tpu.geometry import sim3 as sim3_geo
 from orb_slam2_tpu.ops import matching
@@ -53,6 +54,7 @@ class LoopCloser:
         # on its own thread like the reference's RunGlobalBundleAdjustment
         self.gba = None
         self.background_gba = False
+        self.log = logs.get("loop")
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf: int):
@@ -96,8 +98,16 @@ class LoopCloser:
                     self.loops_closed += 1
                     self.last_loop_kf = kf
                     self.store.big_change_idx += 1
+                    self.log.info(
+                        "loop closed: kf %d <-> candidate %d "
+                        "(total loops %d)", kf, candidate,
+                        self.loops_closed)
                     for cb in self.on_loop:
                         cb(kf)
+                else:
+                    self.log.info(
+                        "loop candidate %d for kf %d rejected by Sim3",
+                        candidate, kf)
             finally:
                 self.store.set_not_erase(kf, False)
 
@@ -143,7 +153,13 @@ class LoopCloser:
         self._consistent_groups = new_groups
         self.db.add(kf, store.kf_word[kf])
         if not enough:
+            self.log.debug(
+                "kf %d: %d BoW candidates, none consistency-confirmed",
+                kf, len(candidates))
             return None
+        self.log.info(
+            "kf %d: loop candidate %d passed 3-consistency vote "
+            "(%d candidates)", kf, enough[0], len(candidates))
         return enough[0]
 
     # ------------------------------------------------------------------

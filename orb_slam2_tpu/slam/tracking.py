@@ -19,6 +19,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
+from orb_slam2_tpu import logs
 from orb_slam2_tpu.config import Sensor, Settings
 from orb_slam2_tpu.ops import matching
 from orb_slam2_tpu.slam import track_step as ts
@@ -90,6 +91,9 @@ class Tracker:
         self.max_frames = int(settings.fps)
         self.timers = StageTimers()
         self.n_inliers = 0
+        self.log = logs.get("tracking")
+        self.resets = 0
+        self.relocalizations = 0
 
         self.scale_factors = builder.scale_factors
         self.level_sigma2 = builder.level_sigma2
@@ -380,6 +384,10 @@ class Tracker:
                 frame.timestamp, self.state == State.LOST))
 
         if self.state == State.LOST and store.kf_valid.sum() <= 5:
+            self.log.warning(
+                "track lost soon after initialisation (frame %d, "
+                "%d kfs) — resetting", frame.frame_id,
+                int(store.kf_valid.sum()))
             self.reset()
             return None
         self.last_frame = frame
@@ -463,7 +471,8 @@ class Tracker:
         pipeline (chain + remaining in-flight frames, which extend the
         failed state) is dropped."""
         pending = self._pending.pop(0)
-        pose = self._process_pulled(*pending)
+        with self.timers("pipe/process"):
+            pose = self._process_pulled(*pending)
         if self.state != State.OK or self.last_frame is None:
             self._pending = []
             self._chain = None
@@ -505,8 +514,9 @@ class Tracker:
             # candidate list see the newest triangulations/BA (exact
             # fast-path parity on refresh frames)
             if self.local_mapper is not None:
-                self.local_mapper.spin()
-            with store.lock:
+                with self.timers("pipe/mapper_spin"):
+                    self.local_mapper.spin(block=False)
+            with store.lock, self.timers("pipe/anchor"):
                 self._update_local_map()
                 self._frames_since_map_refresh = 0
                 self._chain = self._bootstrap_chain()
@@ -697,9 +707,13 @@ class Tracker:
 
         # record pose / bookkeeping
         if ok:
+            if self.state == State.LOST:
+                self.log.info("tracking recovered (frame %d)",
+                              frame.frame_id)
             self.state = State.OK
         elif self.state == State.OK:
             self.state = State.LOST
+            self.log.warning("tracking LOST at frame %d", frame.frame_id)
 
         if frame.Tcw is not None and self.ref_kf >= 0:
             # keep the frame's reference in lockstep with the stored Tcr:
@@ -720,6 +734,9 @@ class Tracker:
             )
 
         if self.state == State.LOST and self.store.kf_valid.sum() <= 5:
+            self.log.warning(
+                "lost with only %d keyframes — resetting (ref: "
+                "Tracking.cc:431-437)", int(self.store.kf_valid.sum()))
             self.reset()
             return None
 
@@ -1384,6 +1401,9 @@ class Tracker:
         ok = self.relocalizer.relocalize(self.current, self)
         if ok:
             self.last_reloc_frame_id = self.current.frame_id
+            self.relocalizations += 1
+            self.log.info("relocalized at frame %d (total %d)",
+                          self.current.frame_id, self.relocalizations)
         return ok
 
     # ------------------------------------------------------------------
@@ -1392,6 +1412,9 @@ class Tracker:
         threads' state: local mapping, loop closing (via the mapper's
         cascade), the BoW database, and the relocalizer all rebind to
         the fresh map."""
+        n_resets = self.resets + 1
+        self.log.info("system reset #%d: clearing map and all subsystems",
+                      n_resets)
         store = self.store
         new_store = MapStore(store.n_feat)
         # keep cross-component erase hooks (e.g. KeyFrameDatabase.erase)
@@ -1410,6 +1433,7 @@ class Tracker:
             self.kf_database.clear()
         if self.relocalizer is not None:
             self.relocalizer.store = self.store
+        self.resets = n_resets
 
     def set_localization_mode(self, on: bool):
         """ref: System::{Activate,Deactivate}LocalizationMode

@@ -199,6 +199,25 @@ class System:
     def tracking_state(self) -> State:
         return self.tracker.state
 
+    def stats(self) -> dict:
+        """Counters for observability (SURVEY §5.5): map size, loop and
+        GBA lifecycle, resets, relocalizations.  The reference exposes
+        these only through scattered couts; here they are one queryable
+        surface."""
+        lc = self.loop_closer
+        gba = lc.gba if lc is not None else None
+        return {
+            "keyframes": int(self.store.kf_valid.sum()),
+            "map_points": int(len(self.store.valid_pt_ids())),
+            "frames_tracked": len(self.tracker.trajectory),
+            "big_change_idx": self.store.big_change_idx,
+            "loops_closed": lc.loops_closed if lc is not None else 0,
+            "gba_runs_finished": gba.runs_finished if gba is not None else 0,
+            "gba_runs_aborted": gba.runs_aborted if gba is not None else 0,
+            "resets": self.tracker.resets,
+            "relocalizations": self.tracker.relocalizations,
+        }
+
     def get_tracked_map_points(self) -> np.ndarray:
         f = self.tracker.current
         if f is None:
