@@ -46,15 +46,17 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     dark = diff                          # corner-dark: ring >> center -> diff > t
 
     def arc_scores(d):
-        # d: (16, H, W); returns max over 16 arcs of (min over 9 positions)
-        best = None
-        for s in range(16):
-            idx = [(s + k) % 16 for k in range(9)]
-            m = d[idx[0]]
-            for i in idx[1:]:
-                m = jnp.minimum(m, d[i])
-            best = m if best is None else jnp.maximum(best, m)
-        return best
+        # d: (16, H, W); returns max over 16 arcs of (min over 9 positions).
+        # Sliding-window minimum by doubling along the (circular) ring axis:
+        # m2[s] = min(d[s..s+1]), m4 = min over 4, m8 = min over 8, and the
+        # 9-arc is min(m8[s], d[s+8]).  8 roll+min ops instead of the naive
+        # 16 arcs x 8 mins = 128 — same values, ~10x fewer full-image VPU
+        # passes (this map runs twice per pyramid level, both thresholds).
+        m2 = jnp.minimum(d, jnp.roll(d, -1, axis=0))
+        m4 = jnp.minimum(m2, jnp.roll(m2, -2, axis=0))
+        m8 = jnp.minimum(m4, jnp.roll(m4, -4, axis=0))
+        m9 = jnp.minimum(m8, jnp.roll(d, -8, axis=0))
+        return m9.max(axis=0)
 
     vb = arc_scores(bright)
     vd = arc_scores(dark)
