@@ -35,7 +35,12 @@ def _build_system(args, sensor: Sensor) -> System:
         from orb_slam2_tpu.places.vocabulary import Vocabulary
 
         voc = Vocabulary.load_text(args.vocab)
-    return System(settings, sensor, vocabulary=voc)
+    sys_ = System(settings, sensor, vocabulary=voc,
+                  use_viewer=args.viewer is not None,
+                  viewer_port=args.viewer or 0)
+    if sys_.viewer is not None:
+        print(f"live viewer: http://localhost:{sys_.viewer.port}/")
+    return sys_
 
 
 def _finish(sys_: System, args, times):
@@ -71,6 +76,11 @@ def main(argv=None):
     ap.add_argument("--ar", default=None, metavar="OUT_DIR",
                     help="AR demo (ref: ros_mono_ar.cc): detect a plane, "
                          "anchor a virtual cube, save overlay frames")
+    ap.add_argument("--viewer", nargs="?", type=int, const=0, default=None,
+                    metavar="PORT",
+                    help="serve the live viewer (map + frame MJPEG, menu "
+                         "toggles) at http://localhost:PORT/ "
+                         "(ref: src/Viewer.cc Pangolin loop)")
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="narrate subsystem lifecycle (loop closures, "
                          "GBA, resets) like the reference's couts")

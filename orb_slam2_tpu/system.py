@@ -35,6 +35,8 @@ class System:
         sensor: Sensor,
         vocabulary=None,
         scheduler: Optional[str] = None,
+        use_viewer: bool = False,
+        viewer_port: Optional[int] = 0,
     ):
         if isinstance(settings, str):
             settings = Settings.from_yaml(settings)
@@ -76,6 +78,14 @@ class System:
             relocalizer=relocalizer,
         )
 
+        # live viewer thread (ref: src/System.cc:99-103 spawns Viewer;
+        # here it is an HTTP panel + optional local window, viz/live.py)
+        self.viewer = None
+        if use_viewer:
+            from orb_slam2_tpu.viz.live import LiveViewer
+
+            self.viewer = LiveViewer(self, http_port=viewer_port)
+
         self.scheduler = scheduler or settings.scheduler
         self._shutdown = False
         self._workers: list = []
@@ -115,16 +125,22 @@ class System:
             # mono frames vary padded size during init: rebuild store pad
             pass
         T = self.tracker.grab_monocular(img, timestamp)
+        if self.viewer is not None:
+            self.viewer.push_frame(img)
         self._pump()
         return T
 
     def track_stereo(self, img_l, img_r, timestamp: float):
         T = self.tracker.grab_stereo(img_l, img_r, timestamp)
+        if self.viewer is not None:
+            self.viewer.push_frame(img_l)
         self._pump()
         return T
 
     def track_rgbd(self, img, depth, timestamp: float):
         T = self.tracker.grab_rgbd(img, depth, timestamp)
+        if self.viewer is not None:
+            self.viewer.push_frame(img)
         self._pump()
         return T
 
@@ -187,6 +203,9 @@ class System:
 
     def shutdown(self):
         self._shutdown = True
+        if self.viewer is not None:
+            # ref: src/System.cc:305-317 waits for the viewer to finish
+            self.viewer.close()
         lc = self.loop_closer
         if lc is not None and lc.gba is not None and lc.gba.running:
             lc.gba.request_stop()
