@@ -100,7 +100,13 @@ def extract(
 
     use_pallas = _use_pallas()
     for l, lvl in enumerate(levels):
-        score = fast.detect_with_fallback(lvl, ini_th, min_th, border)
+        if use_pallas:
+            from orb_slam2_tpu.ops import fast_pallas
+
+            score = fast_pallas.detect_with_fallback(
+                lvl, ini_th, min_th, border)
+        else:
+            score = fast.detect_with_fallback(lvl, ini_th, min_th, border)
         xy, resp, valid = fast.select_topk_grid(score, budgets[l], cell)
         blurred = gaussian.blur7x7(lvl)
         if use_pallas:

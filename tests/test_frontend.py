@@ -319,3 +319,48 @@ class TestStereoPallasKernel:
                         xr[i] - 10 + s + (dy + 5)[None, :]]
                 ref[i, s] = np.abs(pn - (wr - wr[5, 5])).sum()
         np.testing.assert_allclose(out, ref, atol=0.05)
+
+
+class TestFastPallasKernel:
+    def _images(self):
+        rng = np.random.default_rng(11)
+        # smooth-ish texture with real corners + a flat region + edges
+        img = rng.uniform(0, 255, (200, 300)).astype(np.float32)
+        import cv2
+
+        img = cv2.GaussianBlur(img, (5, 5), 1.2)
+        img[40:80, 40:90] = 10.0
+        img[120:160, 150:260] = 240.0
+        odd = rng.uniform(0, 255, (97, 131)).astype(np.float32)  # odd sizes
+        return [img, odd]
+
+    def test_fused_kernel_matches_xla_interpret(self):
+        """fast_pallas.detect_with_fallback (interpret mode) is exactly
+        equal to the XLA formulation inside the detector border."""
+        from orb_slam2_tpu.ops import fast, fast_pallas
+
+        for img in self._images():
+            ref = np.asarray(
+                fast.detect_with_fallback(jnp.asarray(img), 20.0, 7.0, 16))
+            out = np.asarray(fast_pallas.detect_with_fallback(
+                jnp.asarray(img), 20.0, 7.0, 16, interpret=True))
+            assert out.shape == ref.shape
+            np.testing.assert_array_equal(out, ref)
+            assert (ref > 0).sum() > 20   # the scene must actually fire
+
+    def test_fused_kernel_matches_xla_compiled(self):
+        """Compiled Mosaic kernel parity (skipped off-TPU)."""
+        import pytest
+
+        from orb_slam2_tpu.ops.frontend import _use_pallas
+
+        if not _use_pallas():
+            pytest.skip("pallas TPU kernel requires a TPU backend")
+        from orb_slam2_tpu.ops import fast, fast_pallas
+
+        img = self._images()[0]
+        ref = np.asarray(
+            fast.detect_with_fallback(jnp.asarray(img), 20.0, 7.0, 16))
+        out = np.asarray(fast_pallas.detect_with_fallback(
+            jnp.asarray(img), 20.0, 7.0, 16))
+        np.testing.assert_array_equal(out, ref)
