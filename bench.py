@@ -28,6 +28,16 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    # wedged/absent TPU tunnel: fall back to CPU so the bench still
+    # reports a number instead of hanging the driver (a wedged axon
+    # tunnel blocks jax.devices() forever; sitecustomize overrides
+    # JAX_PLATFORMS, so only the in-process config update works)
+    from orb_slam2_tpu.utils import ensure_live_backend
+
+    platform = ensure_live_backend()
+    backend_note = ("" if platform != "cpu"
+                    else " [CPU FALLBACK: TPU tunnel unavailable]")
+
     from orb_slam2_tpu.config import Sensor, Settings
     from orb_slam2_tpu.system import System
     from synthetic import stereo_sequence, straight_trajectory
@@ -50,26 +60,44 @@ def main():
     poses = straight_trajectory(n_frames, step=0.8, yaw_step=0.002)
     scene, pairs = stereo_sequence(settings.K, H, W, BF / FX, poses)
 
+    def run_once(scheduler):
+        """One tracked pass; returns (per-frame times, tracking healthy).
+
+        The next frame's images are prefetched right after each track
+        call — the driver's dead time between frames (dataset pacing /
+        camera period) overlaps the h2d image transfer, as a real
+        capture pipeline does; only the track call itself is timed."""
+        s = System(settings, Sensor.STEREO, scheduler=scheduler)
+        times = []
+        for i, (l, r) in enumerate(pairs):
+            t0 = time.perf_counter()
+            s.track_stereo(l, r, i * 0.1)
+            times.append(time.perf_counter() - t0)
+            if i + 1 < len(pairs):
+                s.prefetch(*pairs[i + 1])
+        ok = (s.tracker.state.name == "OK"
+              and int(s.map.kf_valid.sum()) >= 3)
+        if scheduler == "async":
+            s.shutdown()
+        return times, ok
+
     # warmup pass: drives every shape bucket through compilation (the
     # axon tunnel does not serve the persistent compile cache, so cold
     # XLA compiles otherwise land inside the timed region)
-    warm = System(settings, Sensor.STEREO)
-    for i, (l, r) in enumerate(pairs):
-        warm.track_stereo(l, r, i * 0.1)
+    run_once("sync")
 
-    # timed pass on a fresh System (in-process jit caches stay hot).
-    # The next frame's images are prefetched right after each track call
-    # — the driver's dead time between frames (dataset pacing / camera
-    # period) overlaps the h2d image transfer, as a real capture pipeline
-    # does; only the track call itself is timed.
-    sys_ = System(settings, Sensor.STEREO)
-    times = []
-    for i, (l, r) in enumerate(pairs):
-        t0 = time.perf_counter()
-        sys_.track_stereo(l, r, i * 0.1)
-        times.append(time.perf_counter() - t0)
-        if i + 1 < len(pairs):
-            sys_.prefetch(*pairs[i + 1])
+    # timed pass (in-process jit caches stay hot) under the REFERENCE's
+    # thread topology: mapping + loop closing on their own threads, the
+    # timed Track* call is tracking only — exactly what the reference's
+    # stereo_kitti median measures (Examples/Stereo/stereo_kitti.cc:
+    # 80-122 times TrackStereo while LocalMapping runs concurrently).
+    sched = "async"
+    times, ok = run_once(sched)
+    if not ok:
+        # async degraded tracking on this host — report the sequential
+        # deterministic mode instead (slower but always healthy)
+        sched = "sync"
+        times, _ = run_once(sched)
 
     # steady-state median over the full run past init
     steady = sorted(times[3:])
@@ -78,7 +106,8 @@ def main():
     print(json.dumps({
         "metric": "kitti_shape_stereo_tracking_fps",
         "value": round(fps, 2),
-        "unit": "frames/sec (median, 1240x376 stereo, 2000 ORB features)",
+        "unit": "frames/sec (median, 1240x376 stereo, 2000 ORB "
+                f"features, {sched} scheduler)" + backend_note,
         # vs the >30 fps single-chip north star (BASELINE.json), not the
         # 10 fps KITTI dataset rate
         "vs_baseline": round(fps / 30.0, 3),

@@ -39,6 +39,13 @@ class LocalMapper:
         self.recent_points: List[int] = []
         self.abort_ba = False
         self._accepting = True
+        # True while a keyframe is being processed (popped but not done)
+        # — lets callers observe quiescence (ref: the tracking thread
+        # reads LocalMapping::AcceptKeyFrames, src/LocalMapping.cc:734)
+        self.processing = False
+        # System.shutdown raises this to stop the drain loop promptly
+        # (ref: LocalMapping::RequestFinish, src/LocalMapping.cc:705)
+        self.finish_requested = False
         self.scale_factors = settings.scale_factors().astype(np.float32)
         self.level_sigma2 = settings.level_sigma2().astype(np.float32)
         self.log_scale = float(np.log(settings.scale_factor))
@@ -65,7 +72,17 @@ class LocalMapper:
     def accepting_keyframes(self) -> bool:
         return self._accepting and not self.queue
 
+    def idle(self) -> bool:
+        """True when the queue is drained AND no keyframe is mid-flight
+        (the queue is popped before processing, so `not queue` alone is
+        not quiescence)."""
+        return not self.queue and not self.processing
+
     def interrupt_ba(self):
+        self.abort_ba = True
+
+    def request_finish(self):
+        self.finish_requested = True
         self.abort_ba = True
 
     def reset(self, store: MapStore):
@@ -98,7 +115,7 @@ class LocalMapper:
         if not self._spin_lock.acquire(blocking=block):
             return
         try:
-            while self.queue:
+            while self.queue and not self.finish_requested:
                 self.process_one()
         finally:
             self._spin_lock.release()
@@ -108,29 +125,33 @@ class LocalMapper:
         """One pass of the mapping loop (ref: src/LocalMapping.cc:47-112)."""
         if not self.queue:
             return
-        kf = self.queue.pop(0)
-        self.current_kf = kf
-        self.abort_ba = False
-        lock = self.store.lock
-        with lock, self.timers("lm/process_new_kf"):
-            self._process_new_keyframe(kf)
-        with lock, self.timers("lm/cull_points"):
-            self._cull_map_points(kf)
-        with lock, self.timers("lm/triangulate"):
-            self._create_new_map_points(kf)
-        if not self.queue:
-            with lock, self.timers("lm/fuse_neighbors"):
-                self._search_in_neighbors(kf)
-        if not self.queue and not self.abort_ba:
-            if int(self.store.kf_valid.sum()) > 2:
-                with self.timers("lm/local_ba"):
-                    self.local_bundle_adjustment(kf)
-            with lock, self.timers("lm/cull_keyframes"):
-                self._cull_keyframes(kf)
-        if self.loop_closer is not None:
-            self.loop_closer.insert_keyframe(kf)
-        for cb in self.on_keyframe:
-            cb(kf)
+        self.processing = True
+        try:
+            kf = self.queue.pop(0)
+            self.current_kf = kf
+            self.abort_ba = False
+            lock = self.store.lock
+            with lock, self.timers("lm/process_new_kf"):
+                self._process_new_keyframe(kf)
+            with lock, self.timers("lm/cull_points"):
+                self._cull_map_points(kf)
+            with lock, self.timers("lm/triangulate"):
+                self._create_new_map_points(kf)
+            if not self.queue:
+                with lock, self.timers("lm/fuse_neighbors"):
+                    self._search_in_neighbors(kf)
+            if not self.queue and not self.abort_ba:
+                if int(self.store.kf_valid.sum()) > 2:
+                    with self.timers("lm/local_ba"):
+                        self.local_bundle_adjustment(kf)
+                with lock, self.timers("lm/cull_keyframes"):
+                    self._cull_keyframes(kf)
+            if self.loop_closer is not None:
+                self.loop_closer.insert_keyframe(kf)
+            for cb in self.on_keyframe:
+                cb(kf)
+        finally:
+            self.processing = False
 
     # ------------------------------------------------------------------
     def _process_new_keyframe(self, kf: int):

@@ -347,10 +347,13 @@ class Tracker:
         if ok:
             self.state = State.OK
             self.velocity = frame.Tcw @ np.linalg.inv(last.Tcw)
-            for i in np.nonzero(frame.bindings >= 0)[0]:
-                pid = int(frame.bindings[i])
-                if store.pt_valid[pid] and store.obs.count(pid) == 0:
-                    frame.bindings[i] = -1
+            # drop bindings to zero-observation (pure-VO) points
+            # (ref: Tracking.cc:412-420 Observations()<1); vectorized —
+            # pt_n_obs>=1 iff the point has at least one KF observation
+            bound = np.nonzero(frame.bindings >= 0)[0]
+            pids_b = frame.bindings[bound]
+            drop = store.pt_valid[pids_b] & (store.pt_n_obs[pids_b] < 1)
+            frame.bindings[bound[drop]] = -1
             # delete temporal VO points (ref :441-448; created by
             # _update_last_frame in localization mode)
             if self.temporal_points:

@@ -206,6 +206,10 @@ class System:
         if self.viewer is not None:
             # ref: src/System.cc:305-317 waits for the viewer to finish
             self.viewer.close()
+        # stop the mapping worker's drain loop and interrupt a local BA
+        # in flight (ref: LocalMapping::RequestFinish + Optimizer
+        # setForceStopFlag, src/LocalMapping.cc:705-757)
+        self.local_mapper.request_finish()
         lc = self.loop_closer
         if lc is not None and lc.gba is not None and lc.gba.running:
             lc.gba.request_stop()
@@ -213,7 +217,7 @@ class System:
         self._work_event.set()
         self._loop_event.set()
         for w in self._workers:
-            w.join(timeout=5.0)
+            w.join(timeout=60.0)
 
     def tracking_state(self) -> State:
         return self.tracker.state

@@ -9,6 +9,35 @@ from typing import Dict
 import numpy as np
 
 
+def ensure_live_backend(timeout_s: float = 300.0) -> str:
+    """Force the CPU backend if the default one cannot initialize.
+
+    The axon TPU tunnel, when wedged, makes jax.devices() block forever
+    (or error only after ~20 min) — and the image's sitecustomize
+    overrides JAX_PLATFORMS at interpreter startup, so the env var alone
+    cannot save a script.  Probes backend init in a SUBPROCESS with a
+    hard timeout and, on failure, applies the in-process config update
+    that actually wins over sitecustomize.  Returns the platform name
+    the current process will use.  Call before any jax dispatch."""
+    import subprocess
+    import sys
+
+    import jax
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        alive = r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        alive = False
+    if not alive:
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
+    return jax.devices()[0].platform
+
+
 def bucket_size(n: int, minimum: int = 128) -> int:
     """Round up to a power of two (>= minimum) to bound XLA recompiles.
 

@@ -18,6 +18,8 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from orb_slam2_tpu.utils import ensure_live_backend
+ensure_live_backend()  # wedged-tunnel guard: falls back to CPU
 import jax.numpy as jnp
 import numpy as np
 

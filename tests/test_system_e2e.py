@@ -289,3 +289,60 @@ class TestMonocular:
         # 1.5 m excursion plus alignment slack
         assert errs.max() < 0.3, f"scaled ATE max {errs.max():.3f} m"
         assert np.median(errs) < 0.1, f"scaled ATE median {np.median(errs):.3f} m"
+
+
+class TestAsyncScheduler:
+    """The reference's runtime thread topology (src/System.cc:85-104):
+    tracking on the caller thread, LocalMapping and LoopClosing each on
+    their own thread, GBA spawned in the background by LoopClosing."""
+
+    def test_async_circuit_closes_loop(self, cylinder_world):
+        import time
+
+        settings, scene, voc = cylinder_world
+        sys_ = System(settings, Sensor.STEREO, vocabulary=voc,
+                      scheduler="async")
+        assert len(sys_._workers) == 2          # mapping + loop threads
+        assert sys_.loop_closer.background_gba
+        poses = circle_trajectory(80, orbit_r=2.0,
+                                  total_angle=2 * np.pi * 1.25)
+        Trl = np.eye(4, dtype=np.float32)
+        Trl[0, 3] = -BASELINE
+        lc = sys_.loop_closer
+
+        def drain(limit):
+            # wait for true quiescence: queues popped-before-processing
+            # means `not queue` alone is NOT idle (LocalMapper.idle)
+            t0 = time.time()
+            while time.time() - t0 < limit:
+                if sys_.local_mapper.idle() and lc.idle():
+                    return True
+                time.sleep(0.02)
+            return False
+
+        for i, T in enumerate(poses):
+            sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                              i * 0.2)
+            # real-time pacing: a 5 fps camera gives the mapping/loop
+            # threads the inter-frame budget; the CI box has 2 cores so
+            # an unpaced feed starves them (the reference assumes the
+            # same — mapping keeps up with the camera rate)
+            drain(30.0)
+        assert drain(120.0)
+        assert lc.loops_closed >= 1
+        if lc.gba is not None:
+            assert lc.gba.runs_finished + lc.gba.runs_aborted >= 1
+        ate = kf_ate(sys_.map, poses, 0.2)
+        assert ate < 1.2, f"async-mode loop-closed ATE {ate:.2f}"
+
+        # the background-GBA pose jump may cost tracking (the reference
+        # has the same exposure, src/Tracking.cc:274-317) — revisiting
+        # mapped territory must recover via relocalization
+        for j, T in enumerate(poses[8:20]):
+            sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                              100 + j * 0.2)
+            drain(30.0)
+        assert sys_.tracker.state.name == "OK"
+        sys_.shutdown()
+        for w in sys_._workers:
+            assert not w.is_alive()
