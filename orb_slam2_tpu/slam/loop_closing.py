@@ -54,6 +54,9 @@ class LoopCloser:
         # on its own thread like the reference's RunGlobalBundleAdjustment
         self.gba = None
         self.background_gba = False
+        # True while a keyframe is mid-detect/correct (popped but not
+        # done) — quiescence signal, see LocalMapper.idle
+        self.processing = False
         self.log = logs.get("loop")
 
     # ------------------------------------------------------------------
@@ -74,9 +77,22 @@ class LoopCloser:
         while self.queue:
             self.process_one()
 
+    def idle(self) -> bool:
+        """Quiescent: queue drained, nothing mid-flight, no background
+        GBA running."""
+        return (not self.queue and not self.processing
+                and (self.gba is None or not self.gba.running))
+
     def process_one(self):
         if not self.queue:
             return
+        self.processing = True
+        try:
+            self._process_one_inner()
+        finally:
+            self.processing = False
+
+    def _process_one_inner(self):
         kf = self.queue.pop(0)
         # coarse map lock for the whole detect/correct pass: loop closing
         # runs on its own thread in async mode, and the reference likewise
@@ -250,6 +266,8 @@ class LoopCloser:
         idx, ok = self._match_by_bow(kf, cand)
         rows = np.nonzero(ok)[0]
         if len(rows) < 20:
+            self.log.debug("sim3 %d<->%d: bow matches %d < 20",
+                           kf, cand, len(rows))
             return False
 
         pc1, pc2, uv1, uv2, oct1, oct2 = self._gather_pairs(
@@ -283,6 +301,8 @@ class LoopCloser:
             fix_scale=fix_scale,
         )
         if not bool(res.success):
+            self.log.debug("sim3 %d<->%d: RANSAC failed over %d pairs",
+                           kf, cand, n)
             return False
 
         # grow the match set with Sim3-guided mutual projection before
@@ -315,6 +335,8 @@ class LoopCloser:
             fix_scale=fix_scale,
         )
         if int(n_inl) < 20:                        # ref :326-329
+            self.log.debug("sim3 %d<->%d: refine inliers %d < 20 "
+                           "(extended matches %d)", kf, cand, int(n_inl), n)
             return False
         R12 = np.asarray(R12)
         t12 = np.asarray(t12)
@@ -345,6 +367,9 @@ class LoopCloser:
             kf, loop_pts, Scw_R, Scw_t, Scw_s,
             exclude_feats=matched_feats, exclude_pids=matched_pids)
         if n_total < 40:                           # ref :374-385
+            self.log.debug("sim3 %d<->%d: acceptance count %d < 40 "
+                           "(matched %d)", kf, cand, n_total,
+                           len(matched_feats))
             return False
 
         self._correct_loop(kf, cand, R12, t12, s12, Scw_R, Scw_t, Scw_s,

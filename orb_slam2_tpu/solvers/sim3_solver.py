@@ -115,12 +115,19 @@ def refine_sim3(
     chi2_th: float = 10.0,
 ):
     """Gauss-Newton refinement of S12 with both-direction projection
-    residuals + Huber, the TPU equivalent of Optimizer::OptimizeSim3
-    (ref: src/Optimizer.cc:1046-1241: EdgeSim3ProjectXYZ both ways,
-    5 iters -> drop chi2 > 10 outliers -> reoptimize).
+    residuals + Huber (IRLS), the TPU equivalent of
+    Optimizer::OptimizeSim3 (ref: src/Optimizer.cc:1046-1241:
+    EdgeSim3ProjectXYZ both ways, RobustKernelHuber delta=sqrt(th2) on
+    every edge :1148-1171, 5 iters -> drop chi2 > th2 outliers ->
+    reoptimize).  The Huber weights are essential: the match set coming
+    in includes the SearchBySim3 extension, which is outlier-rich —
+    unrobust GN lets those matches destroy the RANSAC estimate before
+    the chi2 gate can run.
 
     Returns (R12, t12, s12, inlier_mask, n_inliers)."""
     from orb_slam2_tpu.geometry import sim3
+
+    delta = jnp.sqrt(jnp.asarray(chi2_th, pts1.dtype))
 
     def residuals(S12, active):
         S21 = sim3.inverse(S12)
@@ -133,15 +140,26 @@ def refine_sim3(
         r = jnp.concatenate([e1, e2], -1)   # (N, 4)
         return jnp.where(active[:, None], r, 0.0)
 
+    def huber_w(r):
+        """sqrt of the IRLS Huber weight per direction-edge, expanded
+        back to the (N, 4) residual layout."""
+        n1 = jnp.sqrt(jnp.sum(r[:, :2] ** 2, -1) + 1e-12)
+        n2 = jnp.sqrt(jnp.sum(r[:, 2:] ** 2, -1) + 1e-12)
+        w1 = jnp.sqrt(jnp.minimum(1.0, delta / n1))
+        w2 = jnp.sqrt(jnp.minimum(1.0, delta / n2))
+        return jnp.stack([w1, w1, w2, w2], -1)
+
     def gn_iter(carry, _):
         R, t, s, active = carry
         S0 = (R, t, s)
+        # IRLS: Huber weights frozen at the current iterate
+        W = huber_w(residuals(S0, active))
 
         def err_from_xi(xi):
             if fix_scale:
                 xi = xi.at[6].set(0.0)
             S = sim3.compose(sim3.exp(xi), S0)
-            return residuals(S, active).reshape(-1)
+            return (residuals(S, active) * W).reshape(-1)
 
         xi0 = jnp.zeros(7, pts1.dtype)
         J = jax.jacfwd(err_from_xi)(xi0)        # (4N, 7)

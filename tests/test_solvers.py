@@ -360,6 +360,52 @@ class TestSim3:
         np.testing.assert_allclose(np.asarray(res.t12), t, atol=0.05)
         assert np.asarray(res.inliers)[:20].mean() < 0.3
 
+    def test_refine_survives_outlier_majority(self):
+        """refine_sim3 must hold the RANSAC estimate when the
+        SearchBySim3 extension floods it with wrong matches — the
+        reference puts Huber kernels on every Sim3 edge
+        (src/Optimizer.cc:1148-1171), so a ~75% outlier fraction cannot
+        drag the optimum away before the chi2 gate runs.  Regression for
+        the loop_ate loops=0 failure (unrobust GN collapsed to ~12
+        inliers from 141 extended matches)."""
+        rng = np.random.default_rng(13)
+        n_in, n_out = 35, 105
+        n = n_in + n_out
+        pts2 = make_world(rng, n)
+        R = Rotation.from_rotvec(
+            rng.normal(0, 0.1, 3)).as_matrix().astype(np.float32)
+        t = np.array([0.3, -0.1, 0.2], np.float32)
+        s = 1.0
+        pts1 = s * (pts2 @ R.T) + t
+        uv1 = project(pts1) + rng.normal(0, 0.3, (n, 2))
+        uv2 = project(pts2) + rng.normal(0, 0.3, (n, 2))
+        # wrong matches: shuffle the tail's side-2 points so the pair
+        # geometry is inconsistent (what a bad guided projection yields)
+        perm = n_in + rng.permutation(n_out)
+        pts2_c = pts2.copy()
+        pts2_c[n_in:] = pts2[perm]
+        uv2_c = uv2.copy()
+        uv2_c[n_in:] = uv2[perm]
+
+        # slightly perturbed start (a decent RANSAC estimate)
+        R0 = (Rotation.from_rotvec(rng.normal(0, 0.02, 3)).as_matrix()
+              @ R).astype(np.float32)
+        t0 = t + rng.normal(0, 0.05, 3).astype(np.float32)
+        R12, t12, s12, inl, n_inl = sim3_solver.refine_sim3(
+            jnp.asarray(pts1), jnp.asarray(pts2_c),
+            jnp.asarray(uv1, jnp.float32), jnp.asarray(uv2_c, jnp.float32),
+            jnp.full(n, 1.0, jnp.float32), jnp.full(n, 1.0, jnp.float32),
+            jnp.ones(n, bool),
+            jnp.asarray(R0), jnp.asarray(t0), jnp.float32(1.0),
+            FX, FY, CX, CY, fix_scale=True,
+        )
+        assert int(n_inl) >= int(0.8 * n_in), int(n_inl)
+        np.testing.assert_allclose(np.asarray(R12), R, atol=0.01)
+        np.testing.assert_allclose(np.asarray(t12), t, atol=0.05)
+        inl = np.asarray(inl)
+        assert inl[:n_in].mean() > 0.8       # true matches kept
+        assert inl[n_in:].mean() < 0.15      # wrong matches rejected
+
     def test_fix_scale(self):
         rng = np.random.default_rng(12)
         n = 50
