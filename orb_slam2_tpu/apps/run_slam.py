@@ -30,12 +30,15 @@ from orb_slam2_tpu.system import System
 
 def _build_system(args, sensor: Sensor) -> System:
     settings = Settings.from_yaml(args.settings)
+    if args.pipelined:
+        settings.pipelined = True
     voc = None
     if args.vocab:
         from orb_slam2_tpu.places.vocabulary import Vocabulary
 
         voc = Vocabulary.load_text(args.vocab)
     sys_ = System(settings, sensor, vocabulary=voc,
+                  scheduler=args.scheduler,
                   use_viewer=args.viewer is not None,
                   viewer_port=args.viewer or 0)
     if sys_.viewer is not None:
@@ -71,6 +74,13 @@ def main(argv=None):
     ap.add_argument("--out", default="result")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--localization", action="store_true")
+    ap.add_argument("--scheduler", choices=["sync", "async"], default=None,
+                    help="sync = deterministic (default); async = the "
+                         "reference's thread topology (mapping + loop "
+                         "closing on their own threads, background GBA)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="deep-pipelined tracking: keep several frames "
+                         "in flight to hide the device round-trip")
     ap.add_argument("--grid-map", default=None)
     ap.add_argument("--save-map", default=None)
     ap.add_argument("--ar", default=None, metavar="OUT_DIR",
