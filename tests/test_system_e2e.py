@@ -291,6 +291,43 @@ class TestMonocular:
         assert np.median(errs) < 0.1, f"scaled ATE median {np.median(errs):.3f} m"
 
 
+class TestChangeCalibration:
+    def test_hot_swap_rebuilds_steps_and_keeps_tracking(
+            self, cylinder_world, tmp_path):
+        """ref: Tracking::ChangeCalibration (src/Tracking.cc:1553-1584)
+        swaps intrinsics mid-run and re-triggers the one-time frame
+        computations; here the camera-dependent compiled steps must be
+        dropped and tracking must survive on the live map."""
+        settings, scene, voc = cylinder_world
+        sys_ = System(settings, Sensor.STEREO, vocabulary=voc)
+        poses = circle_trajectory(10, orbit_r=2.0, total_angle=0.5)
+        Trl = np.eye(4, dtype=np.float32)
+        Trl[0, 3] = -BASELINE
+        for i, T in enumerate(poses[:6]):
+            sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                              i * 0.2)
+        assert sys_.tracker.state.name == "OK"
+        old_step = sys_.tracker._fast_step
+
+        # near-identical calibration (a hot-swap, not a scene change)
+        yaml = tmp_path / "recal.yaml"
+        yaml.write_text(
+            "%YAML:1.0\n"
+            f"Camera.fx: {FX * 1.001}\nCamera.fy: {FY}\n"
+            f"Camera.cx: {W / 2}\nCamera.cy: {H / 2}\n"
+            f"Camera.bf: {FX * BASELINE * 1.001}\n"
+        )
+        sys_.change_calibration(str(yaml))
+        assert abs(sys_.settings.fx - FX * 1.001) < 1e-6
+        assert sys_.tracker._fast_step is None or \
+            sys_.tracker._fast_step is not old_step
+
+        for j, T in enumerate(poses[6:]):
+            sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                              2.0 + j * 0.2)
+        assert sys_.tracker.state.name == "OK"
+
+
 class TestMonocularLoopClosing:
     """Free-scale Sim3 loop closing (the reference's monocular path:
     Sim3Solver bFixScale=false, src/LoopClosing.cc:272, then the 7-DoF
