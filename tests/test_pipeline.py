@@ -288,6 +288,92 @@ class TestPipelinedMode:
             max(e_seq), max(e_pipe))
 
 
+class TestCullingPolicies:
+    """Pin the reference's two culling policies, which until now only ran
+    implicitly inside e2e circuits."""
+
+    def _world(self, n_feat=32, n_kf=5, n_pt=20, depth=5.0):
+        from orb_slam2_tpu.slam.local_mapping import LocalMapper
+        from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
+
+        rng = np.random.default_rng(3)
+        store = MapStore(n_feat, kf_cap=8, pt_cap=64)
+        kfs = []
+        for k in range(n_kf):
+            ff = FrameFeatures(
+                xy=rng.uniform(0, 100, (n_feat, 2)).astype(np.float32),
+                xy_raw=np.zeros((n_feat, 2), np.float32),
+                ur=np.full(n_feat, -1.0, np.float32),
+                depth=np.full(n_feat, depth, np.float32),
+                octave=np.zeros(n_feat, np.int32),
+                angle=np.zeros(n_feat, np.float32),
+                desc=rng.integers(0, 2 ** 32, (n_feat, 8)).astype(np.uint32),
+                valid=np.ones(n_feat, bool),
+                node=np.full(n_feat, -1, np.int32),
+                word=np.full(n_feat, -1, np.int32),
+            )
+            kfs.append(store.add_keyframe(
+                ff, np.eye(4, dtype=np.float32), float(k), k))
+        pts = [store.add_point(rng.normal(0, 1, 3), kfs[0],
+                               rng.integers(0, 2 ** 32, 8).astype(np.uint32))
+               for _ in range(n_pt)]
+        lm = LocalMapper(make_settings(th_depth=60.0), Sensor.STEREO, store)
+        return store, lm, kfs, pts
+
+    def test_map_point_culling_thresholds(self):
+        """ref: LocalMapping::MapPointCulling (src/LocalMapping.cc:170-204):
+        found-ratio < 0.25 kills at any age; <= th_obs observations after
+        2 keyframes kills; surviving 3 keyframes leaves probation."""
+        store, lm, kfs, pts = self._world()
+        bad_ratio, few_obs, good, released = pts[:4]
+        for p in (bad_ratio, few_obs, good, released):
+            for k in kfs[:4]:
+                store.add_observation(p, k, p)   # w=1 each (ur<0)
+        # found-ratio 0.2 < 0.25
+        store.pt_visible[bad_ratio] = 5
+        store.pt_found[bad_ratio] = 1
+        # few_obs: exactly th_obs (stereo: 3) observations
+        store.erase_observation(few_obs, kfs[3])
+        assert store.pt_n_obs[few_obs] == 3
+        store.pt_first_kf[released] = -1   # age 3 at kf 2 -> released
+
+        lm.recent_points = [bad_ratio, few_obs, good, released]
+        cur = kfs[2]           # age 2 for points born at kf 0
+        lm._cull_map_points(cur)
+        assert not store.pt_valid[bad_ratio]
+        assert not store.pt_valid[few_obs]
+        assert store.pt_valid[good]
+        # good (age 2, enough obs) stays in probation
+        assert lm.recent_points == [good]
+        # ... and leaves it at age >= 3
+        lm._cull_map_points(kfs[3])
+        assert store.pt_valid[good]
+        assert lm.recent_points == []
+
+    def test_keyframe_culling_90pct_redundancy(self):
+        """ref: LocalMapping::KeyFrameCulling (src/LocalMapping.cc:632-703):
+        a covisible keyframe whose valid points are >= 90% observed by
+        >= 3 other keyframes at the same/finer octave is erased; the
+        greedy sweep stops culling once observer counts drop."""
+        store, lm, kfs, pts = self._world()
+        for p in pts:
+            for k in kfs:
+                store.add_observation(p, k, p)
+        for k in kfs:
+            store.update_connections(k)
+        n0 = int(store.kf_valid.sum())
+        assert n0 == 5
+        lm._cull_keyframes(kfs[-1])
+        alive = [k for k in kfs if store.kf_valid[k]]
+        # origin and the current keyframe are never culled; every point
+        # starts with 4 other observers, so exactly two of the middle
+        # keyframes are redundant before observer counts fall below 3
+        assert kfs[0] in alive and kfs[-1] in alive
+        assert len(alive) == 3, alive
+        # points survive the erasures
+        assert all(store.pt_valid[p] for p in pts)
+
+
 class TestMapStore:
     def _store(self):
         from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
