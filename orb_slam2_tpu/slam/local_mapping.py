@@ -135,11 +135,28 @@ class LocalMapper:
                 self._process_new_keyframe(kf)
             with lock, self.timers("lm/cull_points"):
                 self._cull_map_points(kf)
+            # triangulation/fusion: gather + dispatch under the lock,
+            # WAIT for the device outside it (the tunnel wait is the
+            # stage's dominant cost and the tracking thread needs the
+            # lock every frame), re-validate + apply under the lock
             with lock, self.timers("lm/triangulate"):
-                self._create_new_map_points(kf)
+                pend_tri = self._triangulate_dispatch(kf)
+            if pend_tri is not None:
+                with self.timers("lm/triangulate_wait"):
+                    jax.block_until_ready(pend_tri["packed"])
+                with lock, self.timers("lm/triangulate_apply"):
+                    self._triangulate_apply(kf, pend_tri)
             if not self.queue:
                 with lock, self.timers("lm/fuse_neighbors"):
-                    self._search_in_neighbors(kf)
+                    pend_fuse = self._fuse_neighbors_dispatch(kf)
+                if pend_fuse is not None:
+                    with self.timers("lm/fuse_wait"):
+                        if pend_fuse["fwd"] is not None:
+                            jax.block_until_ready(pend_fuse["fwd"][1])
+                        if pend_fuse["rev"] is not None:
+                            jax.block_until_ready(pend_fuse["rev"][1])
+                with lock, self.timers("lm/fuse_apply"):
+                    self._fuse_neighbors_apply(kf, pend_fuse)
             if not self.queue and not self.abort_ba:
                 if int(self.store.kf_valid.sum()) > 2:
                     with self.timers("lm/local_ba"):
@@ -191,15 +208,30 @@ class LocalMapper:
         self.recent_points = keep
 
     # ------------------------------------------------------------------
+    def _map_guard(self):
+        """Snapshot for stale-result detection across an unlocked device
+        wait: the store object (reset swaps it) and big_change_idx (loop
+        correction / GBA pose remaps bump it under store.lock)."""
+        return (id(self.store), self.store.big_change_idx)
+
     def _create_new_map_points(self, kf: int):
         """ref: LocalMapping::CreateNewMapPoints (src/LocalMapping.cc:207).
-        Epipolar-search + triangulate against the top covisible keyframes,
-        with the reference's baseline gates."""
+        Synchronous wrapper over the dispatch/apply halves (see
+        process_one, which releases store.lock for the device wait)."""
+        pend = self._triangulate_dispatch(kf)
+        if pend is not None:
+            self._triangulate_apply(kf, pend)
+
+    def _triangulate_dispatch(self, kf: int):
+        """Epipolar-search + triangulate against the top covisible
+        keyframes, with the reference's baseline gates.  Gathers store
+        state and dispatches ONE batched device call (no pull) — call
+        under store.lock; returns a pending dict or None."""
         store = self.store
         nn = 10 if self.sensor != Sensor.MONOCULAR else 20
         neighbors = store.best_covisibles(kf, nn)
         if not neighbors:
-            return
+            return None
         T1 = store.kf_pose[kf]
         O1 = store.camera_center(kf)
         free1 = store.kf_feat_valid[kf] & (store.kf_obs[kf] < 0)
@@ -221,7 +253,7 @@ class LocalMapper:
                     continue
             use.append(kf2)
         if not use:
-            return
+            return None
         B = self._buckets("nb", len(use))
 
         def stack(key):
@@ -253,11 +285,24 @@ class LocalMapper:
             jnp.float32(self.s.bf),
             self._sf_dev, self._ls2_dev,
         )
+        return {"use": use, "packed": packed, "B": B,
+                "guard": self._map_guard()}
+
+    def _triangulate_apply(self, kf: int, pend) -> None:
+        """Host half: pull proposals and bind new points — call under
+        store.lock.  Stale results (map reset / loop-corrected poses
+        since dispatch) are discarded; the per-slot kf_obs re-checks make
+        concurrent bind races impossible anyway."""
+        store = self.store
+        if pend["guard"] != self._map_guard() or not store.kf_valid[kf]:
+            return
         idx_b, good_b, pts_b = tri.unpack_triangulate_batch(
-            packed, B, store.n_feat)
+            pend["packed"], pend["B"], store.n_feat)
 
         born = []
-        for bi, kf2 in enumerate(use):
+        for bi, kf2 in enumerate(pend["use"]):
+            if not store.kf_valid[kf2]:
+                continue
             good = good_b[bi]
             idx = idx_b[bi]
             pts = pts_b[bi]
@@ -397,6 +442,8 @@ class LocalMapper:
         store = self.store
         idx_b, ok_b = matching.unpack_fuse_batch(packed, B, M)
         for bi, t in enumerate(targets):
+            if not store.kf_valid[t]:
+                continue
             for row in np.nonzero(ok_b[bi][: len(pids)])[0]:
                 pid = int(pids[row])
                 feat = int(idx_b[bi, row])
@@ -415,7 +462,17 @@ class LocalMapper:
 
     def _search_in_neighbors(self, kf: int):
         """ref: LocalMapping::SearchInNeighbors (src/LocalMapping.cc:454):
-        two-way fusion with 1st- and 2nd-order covisible neighbors."""
+        two-way fusion with 1st- and 2nd-order covisible neighbors.
+        Synchronous wrapper (see process_one for the unlocked wait)."""
+        pend = self._fuse_neighbors_dispatch(kf)
+        self._fuse_neighbors_apply(kf, pend)
+
+    def _fuse_neighbors_dispatch(self, kf: int):
+        """Gather + dispatch both fuse directions without pulling either
+        — the device proposals are validated on the host at apply time
+        (pt_valid / existing-obs checks), so the reverse pass can fly
+        while the forward pass is still in the tunnel.  Call under
+        store.lock."""
         store = self.store
         nn = 10 if self.sensor != Sensor.MONOCULAR else 20
         targets = []
@@ -431,18 +488,26 @@ class LocalMapper:
 
         own = store.kf_obs[kf]
         own_pids = own[own >= 0]
-        if targets:
-            # dispatch BOTH fuse directions before pulling either — the
-            # device proposals are validated on the host at apply time
-            # (pt_valid / existing-obs checks), so the reverse pass can
-            # fly while the forward pass is still in the tunnel
-            d_fwd = self._fuse_into_kfs_batch_dispatch(targets, own_pids)
-            fuse_cands = store.points_in_kfs(targets)
-            d_rev = self._fuse_into_kf_dispatch(kf, fuse_cands)
-            self._fuse_into_kfs_batch_apply(targets, d_fwd)
-            self._fuse_into_kf_apply(kf, d_rev)
+        if not targets:
+            return None
+        d_fwd = self._fuse_into_kfs_batch_dispatch(targets, own_pids)
+        fuse_cands = store.points_in_kfs(targets)
+        d_rev = self._fuse_into_kf_dispatch(kf, fuse_cands)
+        return {"targets": targets, "fwd": d_fwd, "rev": d_rev,
+                "guard": self._map_guard()}
 
-        # refresh point stats + connections (ref :536-553), batched
+    def _fuse_neighbors_apply(self, kf: int, pend) -> None:
+        """Pull + merge both fuse directions, then refresh point stats +
+        connections (ref :536-553).  Call under store.lock."""
+        store = self.store
+        if pend is not None and pend["guard"] == self._map_guard() \
+                and store.kf_valid[kf]:
+            # targets must keep dispatch order (batch rows align);
+            # invalidated ones are skipped inside the apply
+            self._fuse_into_kfs_batch_apply(pend["targets"], pend["fwd"])
+            self._fuse_into_kf_apply(kf, pend["rev"])
+        if not store.kf_valid[kf]:
+            return
         row = store.kf_obs[kf]
         pids = row[row >= 0]
         store.compute_distinctive_batch(pids)

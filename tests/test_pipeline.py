@@ -374,6 +374,60 @@ class TestCullingPolicies:
         assert all(store.pt_valid[p] for p in pts)
 
 
+class TestStaleMapGuard:
+    """Local mapping waits for device results OUTSIDE store.lock; results
+    dispatched before a loop correction / GBA / reset must be discarded
+    at apply time (the map gauge changed under them)."""
+
+    def _lm(self):
+        from orb_slam2_tpu.slam.local_mapping import LocalMapper
+        from orb_slam2_tpu.slam.map_store import MapStore
+
+        store = MapStore(8, kf_cap=4, pt_cap=16)
+        return LocalMapper(make_settings(), Sensor.STEREO, store), store
+
+    def test_triangulate_apply_discards_on_big_change(self):
+        lm, store = self._lm()
+        pend = {"use": [], "packed": None, "B": 0, "guard": lm._map_guard()}
+        store.big_change_idx += 1       # loop correction happened
+        n_before = store.n_pt
+        lm._triangulate_apply(0, pend)  # must not touch pend["packed"]
+        assert store.n_pt == n_before
+
+    def test_triangulate_apply_discards_on_reset(self):
+        from orb_slam2_tpu.slam.map_store import MapStore
+
+        lm, store = self._lm()
+        pend = {"use": [], "packed": None, "B": 0, "guard": lm._map_guard()}
+        lm.store = MapStore(8, kf_cap=4, pt_cap=16)   # reset swapped it
+        lm._triangulate_apply(0, pend)
+        assert lm.store.n_pt == 0
+
+    def test_fuse_apply_discards_but_still_refreshes(self):
+        lm, store = self._lm()
+        from orb_slam2_tpu.slam.map_store import FrameFeatures
+
+        n = 8
+        ff = FrameFeatures(
+            xy=np.zeros((n, 2), np.float32),
+            xy_raw=np.zeros((n, 2), np.float32),
+            ur=np.full(n, -1.0, np.float32),
+            depth=np.full(n, -1.0, np.float32),
+            octave=np.zeros(n, np.int32),
+            angle=np.zeros(n, np.float32),
+            desc=np.random.default_rng(0).integers(
+                0, 2 ** 32, (n, 8)).astype(np.uint32),
+            valid=np.ones(n, bool),
+            node=np.full(n, -1, np.int32),
+            word=np.full(n, -1, np.int32),
+        )
+        k = store.add_keyframe(ff, np.eye(4, dtype=np.float32), 0.0, 0)
+        pend = {"targets": [k], "fwd": None, "rev": None,
+                "guard": lm._map_guard()}
+        store.big_change_idx += 1
+        lm._fuse_neighbors_apply(k, pend)   # no crash, no fusion applied
+
+
 class TestMapStore:
     def _store(self):
         from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
