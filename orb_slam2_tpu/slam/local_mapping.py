@@ -322,16 +322,12 @@ class LocalMapper:
             self.recent_points.extend(int(p) for p in born)
 
     # ------------------------------------------------------------------
-    def _fuse_into_kf(self, target_kf: int, pids: np.ndarray) -> int:
-        """Project `pids` into `target_kf`; merge duplicates / add missing
-        observations (device Fuse + host replace, ref ORBmatcher::Fuse
-        src/ORBmatcher.cc:825-975)."""
-        d = self._fuse_into_kf_dispatch(target_kf, pids)
-        return self._fuse_into_kf_apply(target_kf, d)
-
     def _fuse_into_kf_dispatch(self, target_kf: int, pids: np.ndarray):
-        """Device half of _fuse_into_kf: returns (pids, FuseMatches) or
-        None, WITHOUT pulling — so multiple fusions can fly together."""
+        """Device half of reverse fusion: project `pids` into
+        `target_kf` for merge/add (device Fuse + host replace, ref
+        ORBmatcher::Fuse src/ORBmatcher.cc:825-975).  Returns
+        (pids, FuseMatches) or None, WITHOUT pulling — so multiple
+        fusions can fly together."""
         store = self.store
         pids = pids[store.pt_valid[pids]]
         # skip points already observed by the target
@@ -365,7 +361,7 @@ class LocalMapper:
         return pids, fm
 
     def _fuse_into_kf_apply(self, target_kf: int, dispatched) -> int:
-        """Host half of _fuse_into_kf: pull + merge."""
+        """Host half of reverse fusion: pull + merge."""
         if dispatched is None:
             return 0
         pids, fm = dispatched
@@ -390,14 +386,10 @@ class LocalMapper:
             n_fused += 1
         return n_fused
 
-    def _fuse_into_kfs_batch(self, targets, pids: np.ndarray):
-        """Forward fusion of the current keyframe's points into ALL
-        neighbor keyframes with one batched device call."""
-        self._fuse_into_kfs_batch_apply(
-            targets, self._fuse_into_kfs_batch_dispatch(targets, pids))
-
     def _fuse_into_kfs_batch_dispatch(self, targets, pids: np.ndarray):
-        """Device half: batched Fuse dispatch, no pull."""
+        """Device half of forward fusion: project the current keyframe's
+        points into ALL neighbor keyframes with one batched Fuse
+        dispatch, no pull."""
         store = self.store
         pids = pids[store.pt_valid[pids]]
         if len(pids) == 0 or not targets:
