@@ -18,12 +18,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "tests"))
 
-import jax  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
 import numpy as np  # noqa: E402
 
 
@@ -32,9 +26,10 @@ def main():
     # reports a number instead of hanging the driver (a wedged axon
     # tunnel blocks jax.devices() forever; sitecustomize overrides
     # JAX_PLATFORMS, so only the in-process config update works)
-    from orb_slam2_tpu.utils import ensure_live_backend
+    from orb_slam2_tpu.utils import ensure_live_backend, setup_compile_cache
 
     platform = ensure_live_backend()
+    setup_compile_cache(platform)
     backend_note = ("" if platform != "cpu"
                     else " [CPU FALLBACK: TPU tunnel unavailable]")
 

@@ -3,22 +3,24 @@
 Host-side equivalent of the fork's grid-map stack:
   - Monosub's live grid builder (ref: Examples/ROS/ORB_SLAM2/src/
     ros_mono_sub.cc:219-425): per-keyframe point projection onto the
-    x-z plane, per-cell occupied counters, Bresenham visited-ray
+    x-z plane, per-cell occupied counters, integer Bresenham visited-ray
     counting from the keyframe cell, optional local-counter saturation,
-    occupancy = 1 - occupied/visited thresholded to free/unknown/
-    occupied, and a full rebuild on loop closure (:342-399).
+    getGridMap's thresholded free/unknown/occupied map, and a full
+    rebuild on loop closure (:342-399).
   - System::SaveGridMapTUM's direct PGM export (ref: src/System.cc:
     481-629, fixed 450x300 grid with Bresenham ray casting).
-  - the offline pointCloudToGridMap2D.py pipeline (same counters from a
-    timestamped point export).
+  - the offline pointCloudToGridMap2D.py pipeline (lattice-space
+    Bresenham from a timestamped point export).
 
-Bresenham is vectorized: every (keyframe-cell -> point-cell) ray is
-sampled at max-axis resolution and accumulated with np.add.at.
+All Bresenham loops are vectorized across rays: each numpy step replays
+one `for (x = x0; x <= x1; ++x)` iteration of EVERY ray simultaneously
+with the same integer/double semantics as the reference's scalar loops,
+so counters match the reference cell-for-cell.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -38,57 +40,99 @@ class GridParams:
     visit_thresh: int = 0
     use_local_counters: bool = False
 
+    # scaled-grid quantities, exactly as Monosub computes them
+    # (ref: ros_mono_sub.cc:83-118: grid_min = cloud_min*scale,
+    #  h/w = int(grid_res), norm = float(res-1)/float(res))
     @property
-    def shape(self) -> Tuple[int, int]:
-        h = int(round((self.cloud_max_z - self.cloud_min_z)
-                      * self.scale_factor))
-        w = int(round((self.cloud_max_x - self.cloud_min_x)
-                      * self.scale_factor))
+    def grid_min(self) -> Tuple[float, float]:          # (x, z)
+        return (self.cloud_min_x * self.scale_factor,
+                self.cloud_min_z * self.scale_factor)
+
+    @property
+    def shape(self) -> Tuple[int, int]:                 # (h, w)
+        h = int((self.cloud_max_z - self.cloud_min_z) * self.scale_factor)
+        w = int((self.cloud_max_x - self.cloud_min_x) * self.scale_factor)
         return h, w
 
+    @property
+    def norm_factor(self) -> Tuple[float, float]:       # (x, z)
+        res_x = (self.cloud_max_x - self.cloud_min_x) * self.scale_factor
+        res_z = (self.cloud_max_z - self.cloud_min_z) * self.scale_factor
+        return (np.float32(res_x - 1) / np.float32(res_x),
+                np.float32(res_z - 1) / np.float32(res_z))
 
-def _rays_accumulate(visited, occupied, start_cell, pt_cells, params):
-    """Vectorized Bresenham: increment visited along each ray and
-    occupied at each endpoint (ref: processMapPt ros_mono_sub.cc:219)."""
-    h, w = visited.shape
+
+def _bresenham_visit(visited: np.ndarray, start_xz, pt_cells: np.ndarray):
+    """Exact vectorized port of Monosub's per-ray integer Bresenham
+    (ref: processMapPt ros_mono_sub.cc:242-274): increments `visited`
+    along each (keyframe-cell -> point-cell) ray INCLUDING both
+    endpoints, with the reference's exact steep/endpoint swaps and the
+    double `error += dy/dx; if (error >= 0.5)` stepping."""
     if len(pt_cells) == 0:
         return
-    d = pt_cells - start_cell[None, :]
-    n_steps = np.maximum(np.abs(d[:, 0]), np.abs(d[:, 1])).max()
-    n_steps = int(max(n_steps, 1))
-    ts = np.linspace(0.0, 1.0, n_steps + 1)
-    # (P, S, 2) sampled cells along each ray
-    pts = start_cell[None, None, :] + d[:, None, :] * ts[None, :, None]
-    cells = np.round(pts).astype(np.int64)
-    # per-ray valid length: only steps up to its own endpoint
-    own_len = np.maximum(np.abs(d[:, 0]), np.abs(d[:, 1]))
-    step_ok = ts[None, :] * n_steps <= own_len[:, None] + 1e-9
-    cx = cells[..., 0]
-    cz = cells[..., 1]
-    ok = step_ok & (cx >= 0) & (cx < w) & (cz >= 0) & (cz < h)
-    # dedup consecutive duplicates is skipped: counters tolerate it the
-    # same way the reference's per-cell increments do
-    np.add.at(visited, (cz[ok], cx[ok]), 1)
-    np.add.at(occupied, (pt_cells[:, 1], pt_cells[:, 0]), 1)
+    h, w = visited.shape
+    n = len(pt_cells)
+    x0 = np.full(n, int(start_xz[0]), np.int64)
+    y0 = np.full(n, int(start_xz[1]), np.int64)
+    x1 = pt_cells[:, 0].astype(np.int64)
+    y1 = pt_cells[:, 1].astype(np.int64)
+    steep = np.abs(y1 - y0) > np.abs(x1 - x0)
+    x0s = np.where(steep, y0, x0)
+    y0s = np.where(steep, x0, y0)
+    x1s = np.where(steep, y1, x1)
+    y1s = np.where(steep, x1, y1)
+    swap = x0s > x1s
+    x0f = np.where(swap, x1s, x0s)
+    x1f = np.where(swap, x0s, x1s)
+    y0f = np.where(swap, y1s, y0s)
+    y1f = np.where(swap, y0s, y1s)
+    dx = x1f - x0f
+    dy = np.abs(y1f - y0f)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # dx == 0 implies dy == 0 (post-steep-swap dy <= dx): 0/0 = NaN,
+        # and NaN >= 0.5 is False — the single step never increments y,
+        # matching the C loop's one iteration with error = NaN
+        deltaerr = dy.astype(np.float64) / dx.astype(np.float64)
+    ystep = np.where(y0f < y1f, 1, -1).astype(np.int64)
+    err = np.zeros(n, np.float64)
+    y = y0f.copy()
+    for i in range(int(dx.max()) + 1):
+        act = i <= dx
+        x = x0f + i
+        row = np.where(steep, x, y)     # visited.at<int>(x, y) if steep
+        col = np.where(steep, y, x)     # else visited.at<int>(y, x)
+        sel = act & (row >= 0) & (row < h) & (col >= 0) & (col < w)
+        np.add.at(visited, (row[sel], col[sel]), 1)
+        err = err + deltaerr
+        dec = err >= 0.5
+        y = y + ystep * np.where(act & dec, 1, 0)
+        err = err - np.where(dec, 1.0, 0.0)
 
 
 class GridMapper:
-    """Live occupancy grid fed by the keyframe/point stream
-    (Monosub equivalent)."""
+    """Live occupancy grid fed by the keyframe/point stream — a
+    quirk-exact Monosub equivalent (ref: ros_mono_sub.cc), including
+    the floor((p*scale - grid_min) * norm_factor) cell mapping and
+    getGridMap's C integer division `1 - occupieds / visits`."""
 
     def __init__(self, store, params: Optional[GridParams] = None):
         self.store = store
         self.p = params or GridParams()
         h, w = self.p.shape
-        self.visited = np.zeros((h, w), np.float32)
-        self.occupied = np.zeros((h, w), np.float32)
+        self.visited = np.zeros((h, w), np.int64)
+        self.occupied = np.zeros((h, w), np.int64)
         self._processed: List[int] = []
 
     # ------------------------------------------------------------------
     def _to_cell(self, x: np.ndarray, z: np.ndarray) -> np.ndarray:
-        cx = ((x - self.p.cloud_min_x) * self.p.scale_factor)
-        cz = ((z - self.p.cloud_min_z) * self.p.scale_factor)
-        return np.stack([np.round(cx), np.round(cz)], -1).astype(np.int64)
+        """World (x, z) -> grid cell, exactly as Monosub computes it
+        (ref: :241-243, :325-327): scale, subtract scaled grid min,
+        multiply by the float norm factor, floor."""
+        gmx, gmz = self.p.grid_min
+        nfx, nfz = self.p.norm_factor
+        cx = np.floor((x * self.p.scale_factor - gmx) * nfx)
+        cz = np.floor((z * self.p.scale_factor - gmz) * nfz)
+        return np.stack([cx, cz], -1).astype(np.int64)
 
     def _kf_points(self, kf: int) -> np.ndarray:
         row = self.store.kf_obs[kf]
@@ -103,30 +147,34 @@ class GridMapper:
         if not store.kf_valid[kf]:
             return
         C = store.camera_center(kf)
+        h, w = self.visited.shape
+        start = self._to_cell(np.float64(C[0]), np.float64(C[2]))
+        # keyframe cell out of bounds: skip the whole update (ref: :328-332)
+        if not (0 <= start[0] < w and 0 <= start[1] < h):
+            return
         pts = self._kf_points(kf)
         if len(pts) == 0:
             return
-        h, w = self.visited.shape
-        start = self._to_cell(np.array([C[0]]), np.array([C[2]]))[0]
-        start = np.clip(start, [0, 0], [w - 1, h - 1])
-        cells = self._to_cell(pts[:, 0], pts[:, 2])
+        cells = self._to_cell(pts[:, 0].astype(np.float64),
+                              pts[:, 2].astype(np.float64))
         inb = ((cells[:, 0] >= 0) & (cells[:, 0] < w)
                & (cells[:, 1] >= 0) & (cells[:, 1] < h))
         cells = cells[inb]
         if self.p.use_local_counters:
             # local counters saturate per-update (ref: processMapPts
-            # :276-300): occupied cells count once per keyframe
+            # :276-300): where the point mask is set occupied := visited,
+            # elsewhere occupied := 0, then both fold into the globals
             local_v = np.zeros_like(self.visited)
             local_o = np.zeros_like(self.occupied)
-            _rays_accumulate(local_v, local_o, start, cells, self.p)
+            _bresenham_visit(local_v, start, cells)
+            np.add.at(local_o, (cells[:, 1], cells[:, 0]), 1)
             pt_mask = local_o > 0
-            local_v[pt_mask] = np.maximum(local_v[pt_mask], 1)
-            local_o[pt_mask] = local_v[pt_mask]
+            local_o = np.where(pt_mask, local_v, 0)
             self.visited += local_v
             self.occupied += local_o
         else:
-            _rays_accumulate(self.visited, self.occupied, start, cells,
-                             self.p)
+            _bresenham_visit(self.visited, start, cells)
+            np.add.at(self.occupied, (cells[:, 1], cells[:, 0]), 1)
         self._processed.append(kf)
 
     def rebuild(self):
@@ -139,30 +187,29 @@ class GridMapper:
             self.update_keyframe(int(kf))
 
     # ------------------------------------------------------------------
+    def _grid_map(self) -> np.ndarray:
+        """getGridMap's float map (ref: ros_mono_sub.cc:402-425).  The
+        reference computes `1.0 - float(occupieds / visits)` — a C
+        INTEGER division — so any visited cell is exactly free (1.0)
+        until occupied counts reach visits, then occupied (<= 0.0).
+        Reproduced verbatim; it is what Monosub actually publishes."""
+        intdiv = self.occupied // np.maximum(self.visited, 1)
+        return np.where(self.visited > self.p.visit_thresh,
+                        1.0 - intdiv.astype(np.float32), 0.5)
+
     def occupancy(self) -> np.ndarray:
         """Free/unknown/occupied grid as u8 {255, 128, 0}
         (ref: getGridMap ros_mono_sub.cc:402-425)."""
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p_free = np.where(self.visited > self.p.visit_thresh,
-                              1.0 - self.occupied / np.maximum(
-                                  self.visited, 1e-9),
-                              -1.0)
-        out = np.full(self.visited.shape, 128, np.uint8)
-        out[p_free >= self.p.free_thresh] = 255
-        out[(p_free >= 0) & (p_free < self.p.occupied_thresh)] = 0
+        g = self._grid_map()
+        out = np.zeros(g.shape, np.uint8)
+        out[g >= self.p.free_thresh] = 255
+        out[(g < self.p.free_thresh) & (g >= self.p.occupied_thresh)] = 128
         return out
 
     def ros_occupancy_data(self) -> np.ndarray:
-        """nav_msgs/OccupancyGrid-style data: (1 - p_free) * 100, -1
-        unknown (ref: :418-424)."""
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p_free = np.where(self.visited > self.p.visit_thresh,
-                              1.0 - self.occupied / np.maximum(
-                                  self.visited, 1e-9),
-                              np.nan)
-        data = np.where(np.isnan(p_free), -1,
-                        ((1.0 - p_free) * 100).astype(np.int64))
-        return data.astype(np.int8)
+        """nav_msgs/OccupancyGrid-style data: (1 - grid) * 100 cast to
+        char (ref: :421-423)."""
+        return ((1.0 - self._grid_map()) * 100).astype(np.int8)
 
     def save_pgm(self, path: str):
         save_pgm(self.occupancy(), path)
@@ -310,59 +357,194 @@ def _write_p2(grid: np.ndarray, path: str):
             f.write("".join(f"{int(v)} " for v in row) + "\n")
 
 
+def _bresenham_lattice(starts: np.ndarray, ends: np.ndarray,
+                       visit_cb, occupied_cb):
+    """Vectorized port of the offline script's get_line_bresenham +
+    counter loop (ref: pointCloudToGridMap2D.py:7-54, 225-262): integer
+    error `int(dx/2); error -= |dy|; if error < 0: y += ystep` stepping
+    over the scaled-coordinate lattice.  Every ray point EXCEPT the map
+    point endpoint goes to visit_cb; the endpoint goes to occupied_cb
+    (the script reverses the list when swapped so points[-1] is always
+    the map point)."""
+    n = len(starts)
+    if n == 0:
+        return
+    x0 = starts[:, 0].astype(np.int64)
+    y0 = starts[:, 1].astype(np.int64)
+    x1 = ends[:, 0].astype(np.int64)
+    y1 = ends[:, 1].astype(np.int64)
+    steep = np.abs(y1 - y0) > np.abs(x1 - x0)
+    x0s = np.where(steep, y0, x0)
+    y0s = np.where(steep, x0, y0)
+    x1s = np.where(steep, y1, x1)
+    y1s = np.where(steep, x1, y1)
+    swapped = x0s > x1s
+    x0f = np.where(swapped, x1s, x0s)
+    x1f = np.where(swapped, x0s, x1s)
+    y0f = np.where(swapped, y1s, y0s)
+    y1f = np.where(swapped, y0s, y1s)
+    dx = x1f - x0f
+    dy = y1f - y0f
+    err = dx // 2                                # int(dx / 2.0)
+    ystep = np.where(y0f < y1f, 1, -1).astype(np.int64)
+    y = y0f.copy()
+    # the map-point endpoint sits at iteration dx when not swapped,
+    # at iteration 0 when swapped (list reversal)
+    end_i = np.where(swapped, 0, dx)
+    for i in range(int(dx.max()) + 1):
+        act = i <= dx
+        x = x0f + i
+        px = np.where(steep, y, x)
+        py = np.where(steep, x, y)
+        is_end = i == end_i
+        sel_v = act & ~is_end
+        visit_cb(px[sel_v], py[sel_v])
+        sel_e = act & is_end
+        occupied_cb(px[sel_e], py[sel_e])
+        err = err - np.abs(dy)
+        dec = err < 0
+        y = y + ystep * np.where(act & dec, 1, 0)
+        err = err + np.where(dec, dx, 0)
+
+
 def grid_from_timestamped_points(points_path: str,
                                  params: Optional[GridParams] = None,
-                                 kf_trajectory_path: Optional[str] = None
+                                 kf_trajectory_path: Optional[str] = None,
+                                 filter_ground_points: bool = False
                                  ) -> np.ndarray:
-    """Offline pipeline from Map::SaveWithTimestamps output — the port of
-    the fork's pointCloudToGridMap2D.py (ref: :7-54, 97-120): each point
-    line is `x y z ts...` where ts are the observing keyframes'
-    timestamps; keyframe positions come from the TUM keyframe trajectory.
-    Rays run from each observing keyframe to the point."""
-    p = params or GridParams()
-    h, w = p.shape
-    visited = np.zeros((h, w), np.float32)
-    occupied = np.zeros((h, w), np.float32)
+    """Port of the fork's offline pointCloudToGridMap2D.py (ref: :90-300)
+    from Map::SaveWithTimestamps output: each point line is `x y z ts...`
+    where ts are the observing keyframes' timestamps; keyframe positions
+    come from the TUM keyframe trajectory.  Rays run from each observing
+    keyframe to the point over the scale_factor lattice with the
+    script's own Bresenham (all ray points but the last are visits, the
+    last is an occupied count — or a visit for filtered ground points),
+    cells normalized by floor((v - grid_min) * norm_factor).
+
+    With params=None the grid bounds auto-fit the data (floor/ceil of
+    scaled coords, ref: :180-196), like the script.  The returned map
+    reproduces the script's thresholding incl. its Python-2 integer
+    division (`1 - occ/visit` over int32 arrays) and its occ==0 ->
+    unknown quirk (ref: :283-297).
+    """
+    p = params
+    sf = (p.scale_factor if p else 3.0)
 
     kf_pos: Dict[float, np.ndarray] = {}
+    kf_quat: Dict[float, np.ndarray] = {}
     if kf_trajectory_path:
         for line in open(kf_trajectory_path):
             v = line.split()
             if len(v) >= 4:
-                kf_pos[round(float(v[0]), 4)] = np.array(
-                    [float(v[1]), float(v[2]), float(v[3])])
+                ts = round(float(v[0]), 4)
+                kf_pos[ts] = np.array(
+                    [float(v[1]), float(v[2]), float(v[3])]) * sf
+                if len(v) >= 8:
+                    kf_quat[ts] = np.array([float(x) for x in v[4:8]])
 
-    def cell_of(x, z):
-        return (int(round((x - p.cloud_min_x) * p.scale_factor)),
-                int(round((z - p.cloud_min_z) * p.scale_factor)))
-
-    starts, ends = [], []
+    pt_xyz: List[np.ndarray] = []
+    pt_obs_ts: List[List[float]] = []
     for line in open(points_path):
         v = line.split()
         if len(v) < 3:
             continue
-        x, _, z = float(v[0]), float(v[1]), float(v[2])
-        exz = cell_of(x, z)
-        if not (0 <= exz[0] < w and 0 <= exz[1] < h):
-            continue
-        for ts in v[3:]:
-            pos = kf_pos.get(round(float(ts), 4))
+        pt_xyz.append(np.array([float(v[0]), float(v[1]),
+                                float(v[2])]) * sf)
+        pt_obs_ts.append([round(float(t), 4) for t in v[3:]])
+    if not pt_xyz:
+        return np.full((1, 1), 128, np.uint8)
+    pts = np.stack(pt_xyz)
+
+    is_ground = np.zeros(len(pts), bool)
+    if filter_ground_points and kf_quat:
+        # ref: :137-170 — transform into the first observing keyframe's
+        # frame; negative height marks a ground point
+        for i, ts_list in enumerate(pt_obs_ts):
+            for ts in ts_list:
+                if ts in kf_quat and ts in kf_pos:
+                    q = kf_quat[ts] / np.linalg.norm(kf_quat[ts])
+                    qx, qy, qz, qw = q        # TUM order
+                    R = _quat_to_mat(qw, qx, qy, qz)
+                    local = R.T @ (pts[i] - kf_pos[ts])
+                    is_ground[i] = bool(local[1] < 0)
+                    break
+
+    if p is None:
+        kf_arr = (np.stack(list(kf_pos.values()))
+                  if kf_pos else pts)
+        gmin_x = min(np.floor(kf_arr[:, 0].min()), np.floor(pts[:, 0].min()))
+        gmin_z = min(np.floor(kf_arr[:, 2].min()), np.floor(pts[:, 2].min()))
+        gmax_x = max(np.ceil(kf_arr[:, 0].max()), np.ceil(pts[:, 0].max()))
+        gmax_z = max(np.ceil(kf_arr[:, 2].max()), np.ceil(pts[:, 2].max()))
+    else:
+        gmin_x, gmax_x = p.cloud_min_x * sf, p.cloud_max_x * sf
+        gmin_z, gmax_z = p.cloud_min_z * sf, p.cloud_max_z * sf
+    res_x = int(gmax_x - gmin_x)
+    res_z = int(gmax_z - gmin_z)
+    if res_x <= 1 or res_z <= 1:
+        return np.full((max(res_z, 1), max(res_x, 1)), 128, np.uint8)
+    nfx = float(res_x - 1) / float(gmax_x - gmin_x)
+    nfz = float(res_z - 1) / float(gmax_z - gmin_z)
+
+    # counters indexed [x][z] like the script's numpy arrays
+    visit = np.zeros((res_x, res_z), np.int64)
+    occupied = np.zeros((res_x, res_z), np.int64)
+
+    starts, ends, ray_ground = [], [], []
+    for i, ts_list in enumerate(pt_obs_ts):
+        e = (int(pts[i, 0]), int(pts[i, 2]))     # int() truncation, ref :229
+        for ts in ts_list:
+            pos = kf_pos.get(ts)
             if pos is None:
                 continue
-            sxz = cell_of(pos[0], pos[2])
-            starts.append(sxz)
-            ends.append(exz)
+            starts.append((int(pos[0]), int(pos[2])))
+            ends.append(e)
+            ray_ground.append(is_ground[i])
     if starts:
-        starts = np.array(starts, np.int64)
-        ends = np.array(ends, np.int64)
-        for s in np.unique(starts, axis=0):
-            sel = (starts == s[None]).all(1)
-            _rays_accumulate(visited, occupied, s, ends[sel], p)
+        starts = np.asarray(starts, np.int64)
+        ends = np.asarray(ends, np.int64)
+        ray_ground = np.asarray(ray_ground, bool)
 
-    with np.errstate(divide="ignore", invalid="ignore"):
-        p_free = np.where(visited > p.visit_thresh,
-                          1.0 - occupied / np.maximum(visited, 1e-9), -1.0)
-    out = np.full((h, w), 128, np.uint8)
-    out[p_free >= p.free_thresh] = 255
-    out[(p_free >= 0) & (p_free < p.occupied_thresh)] = 0
-    return out
+        def norm_cells(px, pz):
+            cx = np.floor((px - gmin_x) * nfx).astype(np.int64)
+            cz = np.floor((pz - gmin_z) * nfz).astype(np.int64)
+            ok = (cx >= 0) & (cx < res_x) & (cz >= 0) & (cz < res_z)
+            return cx, cz, ok
+
+        def visit_cb(px, pz):
+            cx, cz, ok = norm_cells(px, pz)
+            np.add.at(visit, (cx[ok], cz[ok]), 1)
+
+        # split ground vs non-ground so endpoint routing stays
+        # vectorized (ground-point endpoints count as visits, ref :254-262)
+        for mask, end_to_occ in ((~ray_ground, True), (ray_ground, False)):
+            if not mask.any():
+                continue
+
+            def end_cb(px, pz, to_occ=end_to_occ):
+                cx, cz, ok = norm_cells(px, pz)
+                tgt = occupied if to_occ else visit
+                np.add.at(tgt, (cx[ok], cz[ok]), 1)
+
+            _bresenham_lattice(starts[mask], ends[mask], visit_cb, end_cb)
+
+    # script thresholds with Python-2 integer division (ref: :283-297)
+    intdiv = occupied // np.maximum(visit, 1)
+    unknown = (visit == 0) | (occupied == 0)
+    g = np.where(unknown, 0.5, 1.0 - intdiv.astype(np.float32))
+    out = np.zeros(g.shape, np.uint8)
+    out[g >= (p.free_thresh if p else 0.55)] = 255
+    occ_th = (p.occupied_thresh if p else 0.50)
+    free_th = (p.free_thresh if p else 0.55)
+    out[(g >= occ_th) & (g < free_th)] = 128
+    # script array layout is [x][z]; return rows over z like GridMapper
+    return out.T
+
+
+def _quat_to_mat(w, x, y, z):
+    """Unit quaternion -> rotation matrix (transforms3d.quat2mat)."""
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])

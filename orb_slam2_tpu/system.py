@@ -121,9 +121,6 @@ class System:
     # per-frame entries (ref: System::Track* src/System.cc:117-283)
     # ------------------------------------------------------------------
     def track_monocular(self, img: np.ndarray, timestamp: float):
-        if self.sensor == Sensor.MONOCULAR:
-            # mono frames vary padded size during init: rebuild store pad
-            pass
         T = self.tracker.grab_monocular(img, timestamp)
         if self.viewer is not None:
             self.viewer.push_frame(img)
@@ -315,12 +312,19 @@ class System:
 
         save_grid_map_tum(self.store, path)
 
-    def save_2d_map_points_tum(self, path: str):
-        """Fork feature (ref: System::Save2dMapPointsTUM src/System.cc:631)."""
+    def save_2d_map_points_tum(self, path: str, x: int = 0, y: int = 2):
+        """Fork feature (ref: System::Save2dMapPointsTUM src/System.cc:631).
+
+        (x, y) select which world-coordinate axes land in the two file
+        columns, like the reference's ``const int x, const int y``
+        parameters (it indexes the position Mat directly); the defaults
+        give the usual ground-plane (x, z) projection.  Format matches
+        the reference: leading space, fixed 7-decimal floats.
+        """
         with open(path, "w") as f:
             for pid in self.store.valid_pt_ids():
-                x, _, z = self.store.pt_pos[pid]
-                f.write(f"{x} {z}\n")
+                pos = self.store.pt_pos[pid]
+                f.write(f" {pos[x]:.7f} {pos[y]:.7f}\n")
 
     def save_map(self, path: str):
         self.store.save(path)

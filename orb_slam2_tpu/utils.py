@@ -9,6 +9,37 @@ from typing import Dict
 import numpy as np
 
 
+def setup_compile_cache(platform: str | None = None) -> str:
+    """Enable the persistent XLA compile cache in a per-platform dir.
+
+    A single shared /tmp/jax_cache serving CPU and TPU backends from
+    concurrent processes has produced corrupt entries that segfault the
+    reader deep inside jax's compilation-cache path.  Keying the dir by
+    (platform, jaxlib version) keeps backends and incompatible jaxlib
+    builds from sharing files; a corrupt dir can be deleted without
+    nuking the other platform's warm cache.  Returns the dir used.
+    Call AFTER the platform is pinned (conftest / ensure_live_backend).
+    """
+    import jax
+
+    if platform is None:
+        # jax_platforms config reflects any in-process override; fall
+        # back to the env var, then to "any" (never triggers backend
+        # init, which can hang on a wedged tunnel)
+        import os
+
+        platform = (jax.config.jax_platforms
+                    or os.environ.get("JAX_PLATFORMS") or "any")
+        platform = platform.split(",")[0].strip() or "any"
+    import jaxlib
+
+    cache_dir = f"/tmp/jax_cache_{platform}_{jaxlib.__version__}"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir
+
+
 def ensure_live_backend(timeout_s: float = 300.0) -> str:
     """Force the CPU backend if the default one cannot initialize.
 

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import jax
 
 jax.config.update("jax_platforms", "cpu")   # sitecustomize override
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+from orb_slam2_tpu.utils import setup_compile_cache; setup_compile_cache()
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -140,7 +140,9 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_matmul_precision", "highest")
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        from orb_slam2_tpu.utils import setup_compile_cache
+
+        setup_compile_cache("cpu")
         os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
         ts, centers = _run_trajectory()
         np.savez(GOLDEN, ts=ts, centers=centers)

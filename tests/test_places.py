@@ -276,12 +276,233 @@ class TestGridMap:
         g.update_keyframe(0)
         occ = g.occupancy()
         h, w = occ.shape
-        # camera cell at world (0,0) -> cell (20, 20); wall at z=5 ->
-        # row 30: free cells along the rays, occupied at the wall
+        # Monosub's floor((p*scale - grid_min) * norm_factor) mapping:
+        # camera world (0,0) -> cell floor(20*0.975)=19; wall at z=5 ->
+        # row floor(30*0.975)=29: free cells along rays, occupied wall
         assert (occ == 255).sum() > 5, "expected free cells"
-        assert (occ[30] == 0).sum() >= 4, "expected occupied wall cells"
+        assert (occ[29] == 0).sum() >= 4, "expected occupied wall cells"
         # behind the wall stays unknown
         assert (occ[35] == 128).all()
+
+    def _random_map(self, seed=7, n_kf=5, n_pts=80):
+        from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
+
+        rng = np.random.default_rng(seed)
+        n = 16
+        m = MapStore(n, kf_cap=max(8, n_kf), pt_cap=max(128, n_pts * 2))
+        ff = FrameFeatures(
+            xy=np.zeros((n, 2), np.float32),
+            xy_raw=np.zeros((n, 2), np.float32),
+            ur=np.full(n, 1.0, np.float32),
+            depth=np.full(n, 1.0, np.float32),
+            octave=np.zeros(n, np.int32),
+            angle=np.zeros(n, np.float32),
+            desc=np.zeros((n, 8), np.uint32),
+            valid=np.ones(n, bool),
+            node=np.full(n, -1, np.int32),
+            word=np.full(n, -1, np.int32),
+        )
+        kfs = []
+        for k in range(n_kf):
+            c = rng.uniform(-6, 6, 3)
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = -c.astype(np.float32)
+            kfs.append(m.add_keyframe(ff, T, float(k), 0))
+        for i in range(n_pts):
+            # some points beyond the grid window to exercise culling
+            p = rng.uniform(-14, 14, 3).astype(np.float32)
+            pid = m.add_point(p, kfs[i % n_kf], ff.desc[0])
+            for k in kfs:
+                if rng.random() < 0.5:
+                    m.add_observation(pid, k, i % n)
+        return m
+
+    @staticmethod
+    def _scalar_monosub(store, p):
+        """Direct scalar transliteration of Monosub's grid update
+        (ref: processMapPt/updateGridMap ros_mono_sub.cc:219-340) used
+        as the golden for the vectorized GridMapper."""
+        import math
+
+        h, w = p.shape
+        visited = np.zeros((h, w), np.int64)
+        occupied = np.zeros((h, w), np.int64)
+        gmx, gmz = p.grid_min
+        nfx, nfz = p.norm_factor
+
+        def cell(px, pz):
+            return (int(math.floor((px * p.scale_factor - gmx) * nfx)),
+                    int(math.floor((pz * p.scale_factor - gmz) * nfz)))
+
+        for kf in store.valid_kf_ids():
+            C = store.camera_center(kf)
+            kx, kz = cell(float(C[0]), float(C[2]))
+            if not (0 <= kx < w and 0 <= kz < h):
+                continue
+            row = store.kf_obs[kf]
+            pids = row[row >= 0]
+            pids = pids[store.pt_valid[pids]]
+            lv = np.zeros((h, w), np.int64)
+            lo = np.zeros((h, w), np.int64)
+            mask = np.zeros((h, w), bool)
+            tv, to = (lv, lo) if p.use_local_counters else (visited,
+                                                            occupied)
+            for pid in pids:
+                P = store.pt_pos[pid]
+                px, pz = cell(float(P[0]), float(P[2]))
+                if not (0 <= px < w and 0 <= pz < h):
+                    continue
+                to[pz, px] += 1
+                mask[pz, px] = True
+                x0, y0, x1, y1 = kx, kz, px, pz
+                steep = abs(y1 - y0) > abs(x1 - x0)
+                if steep:
+                    x0, y0 = y0, x0
+                    x1, y1 = y1, x1
+                if x0 > x1:
+                    x0, x1 = x1, x0
+                    y0, y1 = y1, y0
+                dx, dy = x1 - x0, abs(y1 - y0)
+                deltaerr = dy / dx if dx else float("nan")
+                err, y = 0.0, y0
+                ystep = 1 if y0 < y1 else -1
+                for x in range(x0, x1 + 1):
+                    if steep:
+                        tv[x, y] += 1
+                    else:
+                        tv[y, x] += 1
+                    err += deltaerr
+                    if err >= 0.5:
+                        y += ystep
+                        err -= 1.0
+            if p.use_local_counters:
+                lo = np.where(mask, lv, 0)
+                visited += lv
+                occupied += lo
+        return visited, occupied
+
+    def test_gridmapper_matches_scalar_monosub(self):
+        """The vectorized Bresenham must count exactly the cells the
+        reference's scalar integer loop counts (VERDICT r2 weak #7:
+        the old linspace-sampled rays disagreed near diagonals)."""
+        from orb_slam2_tpu.mapping2d.gridmap import GridMapper, GridParams
+
+        for use_local in (False, True):
+            p = GridParams(scale_factor=4.0, cloud_min_x=-10,
+                           cloud_max_x=10, cloud_min_z=-10, cloud_max_z=10,
+                           use_local_counters=use_local)
+            m = self._random_map(seed=11 + use_local)
+            g = GridMapper(m, p)
+            g.rebuild()
+            want_v, want_o = self._scalar_monosub(m, p)
+            np.testing.assert_array_equal(g.visited, want_v)
+            np.testing.assert_array_equal(g.occupied, want_o)
+
+    def test_gridmap_int_division_quirk(self):
+        """getGridMap computes 1 - float(occ / vis) with C INTEGER
+        division (ref: ros_mono_sub.cc:410): a visited cell is free
+        until occ >= vis, then occupied — never in between."""
+        from orb_slam2_tpu.mapping2d.gridmap import GridMapper, GridParams
+
+        g = GridMapper.__new__(GridMapper)
+        g.p = GridParams()
+        g.visited = np.array([[10, 10, 0]], np.int64)
+        g.occupied = np.array([[6, 10, 0]], np.int64)
+        occ = g.occupancy()
+        # 6/10 int-div = 0 -> p=1.0 -> free; 10/10 = 1 -> p=0 -> occupied
+        assert occ.tolist() == [[255, 0, 128]]
+        data = g.ros_occupancy_data()
+        assert data.tolist() == [[0, 100, 50]]
+
+    def test_offline_grid_matches_scalar_script(self, tmp_path):
+        """grid_from_timestamped_points vs a scalar transliteration of
+        pointCloudToGridMap2D.py's get_line_bresenham + counter loop."""
+        from orb_slam2_tpu.mapping2d.gridmap import (
+            grid_from_timestamped_points)
+
+        rng = np.random.default_rng(5)
+        sf = 3.0
+        kf_ts = [1.0, 2.0, 3.0]
+        kf_pos = {t: rng.uniform(-4, 4, 3) for t in kf_ts}
+        pts = [rng.uniform(-8, 8, 3) for _ in range(40)]
+        obs = [[t for t in kf_ts if rng.random() < 0.7] for _ in pts]
+
+        ptf = tmp_path / "pts.txt"
+        with open(ptf, "w") as f:
+            for p_, o in zip(pts, obs):
+                f.write(" ".join(f"{v:.6f}" for v in p_)
+                        + "".join(f" {t:.4f}" for t in o) + "\n")
+        kff = tmp_path / "kf.txt"
+        with open(kff, "w") as f:
+            for t in kf_ts:
+                x, y, z = kf_pos[t]
+                f.write(f"{t:.4f} {x:.6f} {y:.6f} {z:.6f} 0 0 0 1\n")
+
+        got = grid_from_timestamped_points(str(ptf),
+                                           kf_trajectory_path=str(kff))
+
+        # scalar golden (ref: pointCloudToGridMap2D.py:7-54, 180-297)
+        def bres(start, end):
+            x1, y1 = start
+            x2, y2 = end
+            dx, dy = x2 - x1, y2 - y1
+            steep = abs(dy) > abs(dx)
+            if steep:
+                x1, y1 = y1, x1
+                x2, y2 = y2, x2
+            swapped = False
+            if x1 > x2:
+                x1, x2 = x2, x1
+                y1, y2 = y2, y1
+                swapped = True
+            dx, dy = x2 - x1, y2 - y1
+            error = int(dx / 2.0)
+            ystep = 1 if y1 < y2 else -1
+            y = y1
+            out = []
+            for x in range(x1, x2 + 1):
+                out.append((y, x) if steep else (x, y))
+                error -= abs(dy)
+                if error < 0:
+                    y += ystep
+                    error += dx
+            if swapped:
+                out.reverse()
+            return out
+
+        skf = {round(t, 4): np.asarray(kf_pos[t]) * sf for t in kf_ts}
+        spts = [np.asarray(p_) * sf for p_ in pts]
+        all_xz = np.array([[v[0], v[2]] for v in
+                           list(skf.values()) + spts])
+        gmin = np.floor(all_xz.min(0))
+        gmax = np.ceil(all_xz.max(0))
+        res = (int(gmax[0] - gmin[0]), int(gmax[1] - gmin[1]))
+        nf = (float(res[0] - 1) / (gmax[0] - gmin[0]),
+              float(res[1] - 1) / (gmax[1] - gmin[1]))
+        visit = np.zeros(res, np.int64)
+        occup = np.zeros(res, np.int64)
+        for p_, o in zip(spts, obs):
+            for t in o:
+                kp = skf[round(t, 4)]
+                ray = bres((int(kp[0]), int(kp[2])),
+                           (int(p_[0]), int(p_[2])))
+                for (rx, rz) in ray[:-1]:
+                    cx = int(np.floor((rx - gmin[0]) * nf[0]))
+                    cz = int(np.floor((rz - gmin[1]) * nf[1]))
+                    if 0 <= cx < res[0] and 0 <= cz < res[1]:
+                        visit[cx, cz] += 1
+                rx, rz = ray[-1]
+                cx = int(np.floor((rx - gmin[0]) * nf[0]))
+                cz = int(np.floor((rz - gmin[1]) * nf[1]))
+                if 0 <= cx < res[0] and 0 <= cz < res[1]:
+                    occup[cx, cz] += 1
+        intdiv = occup // np.maximum(visit, 1)
+        unknown = (visit == 0) | (occup == 0)
+        g = np.where(unknown, 0.5, 1.0 - intdiv.astype(np.float32))
+        want = np.zeros(g.shape, np.uint8)
+        want[g >= 0.55] = 255
+        want[(g >= 0.50) & (g < 0.55)] = 128
+        np.testing.assert_array_equal(got, want.T)
 
     def test_save_grid_map_tum_matches_reference_semantics(self, tmp_path):
         """Cell-for-cell golden: the vectorized save_grid_map_tum must
