@@ -228,19 +228,25 @@ class GlobalBA:
             born = all_p[~np.isin(all_p, pids)]
             if len(born):
                 refs = store.pt_ref_kf[born]
-                ok = np.array([int(r) in bef for r in refs], bool)
+                has_bef = np.zeros(store.kf_cap, bool)
+                has_bef[np.fromiter(bef, np.int64, len(bef))] = True
+                ok = (refs >= 0) & has_bef[np.maximum(refs, 0)]
                 born = born[ok]
                 refs = refs[ok]
-                for r in np.unique(refs):
-                    r = int(r)
-                    sel = born[refs == r]
-                    Tb = bef[r]
-                    Ta = new_pose[r]
-                    Xc = store.pt_pos[sel] @ Tb[:3, :3].T + Tb[:3, 3]
-                    Rwc = Ta[:3, :3].T
-                    twc = -Rwc @ Ta[:3, 3]
-                    store.pt_pos[sel] = (Xc @ Rwc.T + twc).astype(
-                        np.float32)
+            if len(born):
+                # one batched transform for all born points: group-gather
+                # the per-ref before/after poses, then two einsums
+                ref_ids = np.unique(refs)
+                Tb_arr = np.stack([bef[int(r)] for r in ref_ids])
+                Ta_arr = np.stack([new_pose[int(r)] for r in ref_ids])
+                gi = np.searchsorted(ref_ids, refs)
+                Tb = Tb_arr[gi]
+                Ta = Ta_arr[gi]
+                Xc = np.einsum("pij,pj->pi", Tb[:, :3, :3],
+                               store.pt_pos[born]) + Tb[:, :3, 3]
+                store.pt_pos[born] = np.einsum(
+                    "pji,pj->pi", Ta[:, :3, :3],
+                    Xc - Ta[:, :3, 3]).astype(np.float32)
                 all_touched = np.concatenate([pids[live], born])
             else:
                 all_touched = pids[live]

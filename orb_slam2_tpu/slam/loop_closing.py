@@ -424,9 +424,10 @@ class LoopCloser:
         if self.gba is not None and self.gba.running:
             self.gba.request_stop()
 
-        # snapshot pre-correction poses for relative measurements
-        pre_pose = {int(k): store.kf_pose[k].copy()
-                    for k in store.valid_kf_ids()}
+        # snapshot pre-correction poses for relative measurements — one
+        # array copy instead of an O(K) per-KF dict (reference-scale maps
+        # run 1300+ KFs through here)
+        pre_pose = store.kf_pose.copy()
 
         # corrected Sim3 for current KF + covisible window (ref :436-460)
         window = [kf] + store.best_covisibles(kf, 1000)
@@ -440,22 +441,40 @@ class LoopCloser:
             S_i_kf = (T_i_kf[:3, :3], T_i_kf[:3, 3], 1.0)
             corrected[ki] = _sim3_compose_np(S_i_kf, Scw_np)
 
-        # correct map points of the window (ref :462-498)
-        done_pts: Set[int] = set()
+        # correct map points of the window (ref :462-498), vectorized:
+        # each point is claimed by its FIRST observing keyframe in window
+        # order (the reference's mnCorrectedByKF guard) and moved by the
+        # composed map M_i = Sc_i^-1 o S_old_i in one batched einsum
+        window_arr = np.asarray(window, np.int64)
+        W = len(window)
+        rows = store.kf_obs[window_arr]               # (W, F) pids
+        flat = rows.ravel()
+        present = flat >= 0
+        pids_flat = flat[present]
+        flat_order = np.nonzero(present)[0]
+        uniq, first_idx = np.unique(pids_flat, return_index=True)
+        claim = flat_order[first_idx] // rows.shape[1]   # window index
+        live = store.pt_valid[uniq]
+        pids_u = uniq[live]
+        g = claim[live]
+        if len(pids_u):
+            Rc = np.stack([corrected[ki][0] for ki in window])
+            tc = np.stack([corrected[ki][1] for ki in window])
+            sc = np.asarray([corrected[ki][2] for ki in window],
+                            np.float64)
+            Ro = pre_pose[window_arr][:, :3, :3]
+            to = pre_pose[window_arr][:, :3, 3]
+            # M_i = Sc_i^-1 o S_old_i (S_old has scale 1):
+            #   R_m = Rc^T Ro ; t_m = Rc^T (to - tc) / sc ; s_m = 1/sc
+            R_m = np.einsum("wji,wjk->wik", Rc, Ro)
+            t_m = np.einsum("wji,wj->wi", Rc, to - tc) / sc[:, None]
+            s_m = 1.0 / sc
+            p = store.pt_pos[pids_u]
+            p_new = (s_m[g, None]
+                     * np.einsum("pij,pj->pi", R_m[g], p) + t_m[g])
+            store.pt_pos[pids_u] = p_new.astype(np.float32)
+            store.mark_dirty(pids_u)
         for ki in window:
-            Sc = corrected[ki]
-            S_old = (pre_pose[ki][:3, :3], pre_pose[ki][:3, 3], 1.0)
-            Sc_inv = _sim3_inverse_np(Sc)
-            row = store.kf_obs[ki]
-            for pid in row[row >= 0]:
-                pid = int(pid)
-                if pid in done_pts or not store.pt_valid[pid]:
-                    continue
-                done_pts.add(pid)
-                pw = store.pt_pos[pid]
-                store.pt_pos[pid] = _sim3_apply_np(
-                    Sc_inv, _sim3_apply_np(S_old, pw))
-                store.mark_dirty(pid)
             # corrected pose: SE3 with scale divided out (ref :500-507)
             R, t, s = corrected[ki]
             Tn = np.eye(4, dtype=np.float32)
@@ -501,15 +520,21 @@ class LoopCloser:
         if len(loop_pts) == 0:
             return
         M = bucket_size(len(loop_pts), 256)
+        # shared loop-point block, uploaded once
+        pts_dev = jnp.asarray(pad_rows(store.pt_pos[loop_pts], M))
+        valid_dev = jnp.asarray(pad_rows(
+            np.ones(len(loop_pts), bool), M, False))
+        desc_dev = jnp.asarray(pad_rows(store.pt_desc[loop_pts], M))
+        mind_dev = jnp.asarray(pad_rows(store.pt_min_dist[loop_pts], M))
+        maxd_dev = jnp.asarray(pad_rows(store.pt_max_dist[loop_pts], M))
+        # dispatch every window keyframe's projection before pulling any
+        # result: the device queue hides the tunnel RTT instead of one
+        # serialized round-trip per keyframe
+        dispatched = []
         for ki in window:
             R, t, s = corrected[ki]
             m = matching.search_by_sim3_projection(
-                jnp.asarray(pad_rows(store.pt_pos[loop_pts], M)),
-                jnp.asarray(pad_rows(
-                    np.ones(len(loop_pts), bool), M, False)),
-                jnp.asarray(pad_rows(store.pt_desc[loop_pts], M)),
-                jnp.asarray(pad_rows(store.pt_min_dist[loop_pts], M)),
-                jnp.asarray(pad_rows(store.pt_max_dist[loop_pts], M)),
+                pts_dev, valid_dev, desc_dev, mind_dev, maxd_dev,
                 jnp.asarray(R.astype(np.float32)),
                 jnp.asarray(t.astype(np.float32)), jnp.float32(s),
                 store.kf_device(ki, "xy"), store.kf_device(ki, "octave"),
@@ -521,6 +546,9 @@ class LoopCloser:
                 self.log_scale, self.s.n_levels,
                 jnp.float32(4.0),
             )
+            dispatched.append((ki, m))
+        touched = []
+        for ki, m in dispatched:
             idx, _, ok = matching.to_host(m)
             for row in np.nonzero(ok[: len(loop_pts)])[0]:
                 pid_new = int(loop_pts[row])
@@ -532,7 +560,9 @@ class LoopCloser:
                     store.replace_point(existing, pid_new)
                 else:
                     store.add_observation(pid_new, ki, feat)
-                    store.compute_distinctive_descriptor(pid_new)
+                    touched.append(pid_new)
+        if touched:
+            store.compute_distinctive_batch(np.unique(touched))
 
     def _optimize_essential_graph(self, kf, cand, corrected, pre_pose,
                                   loop_connections):
@@ -544,24 +574,23 @@ class LoopCloser:
         index = {k: i for i, k in enumerate(kfs)}
         K = len(kfs)
 
-        R = np.zeros((K, 3, 3), np.float32)
-        t = np.zeros((K, 3), np.float32)
+        kfs_arr = np.asarray(kfs, np.int64)
+        poses_now = store.kf_pose[kfs_arr]
+        R = poses_now[:, :3, :3].astype(np.float32).copy()
+        t = poses_now[:, :3, 3].astype(np.float32).copy()
         s = np.ones(K, np.float32)
         fixed = np.zeros(K, bool)
-        for k, i in index.items():
-            if k in corrected:
-                Rc, tc, sc = corrected[k]
+        for k, (Rc, tc, sc) in corrected.items():
+            if k in index:
+                i = index[k]
                 R[i], t[i], s[i] = Rc, tc, sc
-            else:
-                T = store.kf_pose[k]
-                R[i], t[i] = T[:3, :3], T[:3, 3]
         fixed[index[cand]] = True                  # ref :830
 
         def rel_measure(ki, kj):
             """S_j_i measured from pre-correction poses (the drift-consistent
             odometry; ref uses NonCorrectedSim3 for these edges)."""
-            Ti = pre_pose.get(ki, store.kf_pose[ki])
-            Tj = pre_pose.get(kj, store.kf_pose[kj])
+            Ti = pre_pose[ki]
+            Tj = pre_pose[kj]
             Tji = Tj @ np.linalg.inv(Ti)
             return Tji[:3, :3], Tji[:3, 3], 1.0
 
@@ -612,15 +641,63 @@ class LoopCloser:
             for kj in links:
                 add_edge(ki, kj, meas=corrected_measure(ki, kj))
 
+        # bulk edges — spanning tree, prior loop edges, covisibility
+        # >= 100 (ref :806,:869-906) — assembled as arrays and measured
+        # with ONE batched relative-pose computation.  The per-edge
+        # Python add_edge path above is reserved for the handful of
+        # special-measurement edges; at reference scale (1300+ KFs,
+        # thousands of strong-covis edges) the bulk sweep must not run
+        # Python per edge.
+        bi, bj = [], []
+        parents = store.kf_parent[kfs_arr]
+        pa_ok = (parents >= 0) & store.kf_valid[np.maximum(parents, 0)]
+        bi.append(parents[pa_ok])
+        bj.append(kfs_arr[pa_ok])
         for k in kfs:
-            parent = int(store.kf_parent[k])
-            if parent >= 0 and store.kf_valid[parent]:
-                add_edge(parent, k)
-            for le in store.kf_loop_edges.get(k, ()):
+            les = store.kf_loop_edges.get(k, ())
+            for le in les:
                 if store.kf_valid[le]:
-                    add_edge(le, k)
-            for nb in store.covisibles_by_weight(k, 100):
-                add_edge(nb, k)
+                    bi.append(np.array([le]))
+                    bj.append(np.array([k]))
+            c = store.covis.get(k, {})
+            if c:
+                nbs = np.fromiter(c.keys(), np.int64, len(c))
+                ws = np.fromiter(c.values(), np.int64, len(c))
+                strong = nbs[(ws >= 100) & store.kf_valid[nbs]]
+                if len(strong):
+                    bi.append(strong)
+                    bj.append(np.full(len(strong), k))
+        bi = np.concatenate(bi) if bi else np.zeros(0, np.int64)
+        bj = np.concatenate(bj) if bj else np.zeros(0, np.int64)
+        # canonical undirected key; dedup against self + special edges
+        lo = np.minimum(bi, bj)
+        hi = np.maximum(bi, bj)
+        keep = lo != hi
+        key = lo * store.kf_cap + hi
+        _, first = np.unique(key, return_index=True)
+        sel = np.zeros(len(bi), bool)
+        sel[first] = True
+        sel &= keep
+        if added:
+            spec = np.asarray(
+                [a * store.kf_cap + b for a, b in added], np.int64)
+            sel &= ~np.isin(key, spec)
+        bi, bj = bi[sel], bj[sel]
+        if len(bi):
+            # batched rel_measure: S_j_i = T_j * T_i^-1 from pre poses
+            Ti = pre_pose[bi]
+            Tj = pre_pose[bj]
+            Ri_T = np.swapaxes(Ti[:, :3, :3], 1, 2)
+            Rji = np.einsum("eij,ejk->eik", Tj[:, :3, :3], Ri_T)
+            tji = (Tj[:, :3, 3] - np.einsum(
+                "eij,ej->ei", Rji, Ti[:, :3, 3]))
+            idx_of_kf = np.full(store.kf_cap, -1, np.int64)
+            idx_of_kf[kfs_arr] = np.arange(K)
+            e_i.extend(idx_of_kf[bi].tolist())
+            e_j.extend(idx_of_kf[bj].tolist())
+            mR.extend(Rji.astype(np.float32))
+            mt.extend(tji.astype(np.float32))
+            ms.extend([1.0] * len(bi))
 
         E = max(len(e_i), 1)
         prob = pose_graph.PoseGraphProblem(

@@ -7,10 +7,11 @@ minimal set at a time; here ALL RANSAC hypotheses are solved
 simultaneously via vmapped linear algebra, inliers are counted densely,
 and the best hypothesis is refined on its full inlier set.
 
-Deviation from the reference: beta cases N=2/3 are replaced by the N=1
-seed + Gauss-Newton on the four betas (5 iterations), which in practice
-recovers the same solutions; minimal sets use 6 points rather than 4 for
-numerical headroom (all hypotheses run in parallel on TPU anyway).
+All three of the reference's closed-form beta seeds (find_betas_approx_
+1/2/3, ref: src/PnPsolver.cc:667-761) feed Gauss-Newton in parallel and
+the lowest-reprojection-error case wins, exactly like compute_pose
+(ref: :565-661).  Deviation: minimal sets use 6 points rather than 4
+for numerical headroom (all hypotheses run in parallel on TPU anyway).
 """
 
 from __future__ import annotations
@@ -103,6 +104,73 @@ def _dist2(x):
     )
 
 
+_PAIRS = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def _L6x10(V):
+    """The reference's L matrix (ref compute_L_6x10 :760-800): for each
+    control-point pair p, quadratic-form coefficients of the 4 betas over
+    the basis-vector differences dv_k[p].  Column order
+    [B11 B12 B22 B13 B23 B33 B14 B24 B34 B44]."""
+    Vc = V.reshape(V.shape[:-2] + (4, 3, 4))       # (..., ctrl, xyz, basis)
+    dv = jnp.stack(
+        [Vc[..., i, :, :] - Vc[..., j, :, :] for i, j in _PAIRS], -3
+    )                                              # (..., 6, 3, 4)
+    d = jnp.einsum("...pxi,...pxj->...pij", dv, dv)  # (..., 6, 4, 4)
+    cols = [d[..., 0, 0], 2 * d[..., 0, 1], d[..., 1, 1],
+            2 * d[..., 0, 2], 2 * d[..., 1, 2], d[..., 2, 2],
+            2 * d[..., 0, 3], 2 * d[..., 1, 3], 2 * d[..., 2, 3],
+            d[..., 3, 3]]
+    return jnp.stack(cols, -1)                     # (..., 6, 10)
+
+
+def _lsq(A, b):
+    """Batched small least squares via ridge-stabilized normal equations
+    (jnp.linalg.lstsq does not batch; systems here are 6x3..6x5)."""
+    AtA = jnp.einsum("...pi,...pj->...ij", A, A)
+    Atb = jnp.einsum("...pi,...p->...i", A, b)
+    eye = jnp.eye(A.shape[-1], dtype=A.dtype) * 1e-9
+    return jnp.linalg.solve(AtA + eye, Atb[..., None])[..., 0]
+
+
+def _betas_approx_1(L, rho):
+    """betas_approx_1 = [B11 B12 B13 B14] (ref :667-688)."""
+    b4 = _lsq(L[..., (0, 1, 3, 6)], rho)
+    neg = b4[..., 0] < 0
+    s = jnp.where(neg, -1.0, 1.0)
+    b0 = jnp.sqrt(jnp.maximum(s * b4[..., 0], 1e-12))
+    rest = s[..., None] * b4[..., 1:] / b0[..., None]
+    return jnp.concatenate([b0[..., None], rest], -1)
+
+
+def _betas_approx_2(L, rho):
+    """betas_approx_2 = [B11 B12 B22] (ref :693-719)."""
+    b3 = _lsq(L[..., (0, 1, 2)], rho)
+    neg = b3[..., 0] < 0
+    s = jnp.where(neg, -1.0, 1.0)
+    b0 = jnp.sqrt(jnp.maximum(s * b3[..., 0], 1e-12))
+    # beta2 = sqrt(b22) only when b22 has the same sign as b11
+    same = s * b3[..., 2] > 0
+    b1 = jnp.where(same, jnp.sqrt(jnp.maximum(s * b3[..., 2], 1e-12)), 0.0)
+    b0 = jnp.where(b3[..., 1] < 0, -b0, b0)
+    zero = jnp.zeros_like(b0)
+    return jnp.stack([b0, b1, zero, zero], -1)
+
+
+def _betas_approx_3(L, rho):
+    """betas_approx_3 = [B11 B12 B22 B13 B23] (ref :724-755)."""
+    b5 = _lsq(L[..., (0, 1, 2, 3, 4)], rho)
+    neg = b5[..., 0] < 0
+    s = jnp.where(neg, -1.0, 1.0)
+    b0 = jnp.sqrt(jnp.maximum(s * b5[..., 0], 1e-12))
+    same = s * b5[..., 2] > 0
+    b1 = jnp.where(same, jnp.sqrt(jnp.maximum(s * b5[..., 2], 1e-12)), 0.0)
+    b0 = jnp.where(b5[..., 1] < 0, -b0, b0)
+    b2 = b5[..., 3] / b0
+    zero = jnp.zeros_like(b0)
+    return jnp.stack([b0, b1, b2, zero], -1)
+
+
 def _betas_gauss_newton(V, rho, beta0, iters: int = 5):
     """Refine betas so sum_k beta_k v_k reproduces control distances
     (ref gauss_newton :840-907).  V: (..., 12, 4) basis (columns =
@@ -142,29 +210,41 @@ def _epnp_solve(pw, uv, w, fx, fy, cx, cy):
 
     rho = _dist2(cw)
 
-    # beta seed: case N=1 (ref find_betas_approx_1 :667-688 analog):
-    # x = beta * v0 with v0 = smallest eigenvector
-    v0 = V[..., :, 0].reshape(V.shape[:-2] + (4, 3))
-    d_v0 = _dist2(v0)
-    beta1 = jnp.sum(d_v0 * rho, -1) / jnp.maximum(jnp.sum(d_v0 * d_v0, -1), 1e-12)
-    beta1 = jnp.sqrt(jnp.maximum(beta1, 1e-12))
-    beta0 = jnp.stack(
-        [beta1, jnp.zeros_like(beta1), jnp.zeros_like(beta1),
-         jnp.zeros_like(beta1)], -1,
-    )
-    betas = _betas_gauss_newton(V, rho, beta0)
+    # the reference's three closed-form beta seeds, each refined by
+    # Gauss-Newton, lowest reprojection error wins (ref compute_pose
+    # :565-661 keeps the best of cases 1/2/3)
+    L = _L6x10(V)
+    beta0 = jnp.stack([_betas_approx_1(L, rho),
+                       _betas_approx_2(L, rho),
+                       _betas_approx_3(L, rho)], -2)        # (..., 3, 4)
+    Vb = jnp.broadcast_to(V[..., None, :, :],
+                          V.shape[:-2] + (3,) + V.shape[-2:])
+    rhob = jnp.broadcast_to(rho[..., None, :],
+                            rho.shape[:-1] + (3,) + rho.shape[-1:])
+    betas = _betas_gauss_newton(Vb, rhob, beta0)            # (..., 3, 4)
 
-    cc = jnp.einsum("...ik,...k->...i", V, betas).reshape(
-        V.shape[:-2] + (4, 3)
-    )                                              # camera-frame ctrl pts
-    pc = jnp.einsum("...nj,...jx->...nx", alphas, cc)  # (..., N, 3)
+    cc = jnp.einsum("...ik,...ck->...ci", V, betas).reshape(
+        V.shape[:-2] + (3, 4, 3)
+    )                                       # camera-frame ctrl pts per case
+    pc = jnp.einsum("...nj,...cjx->...cnx", alphas, cc)     # (..., 3, N, 3)
 
     # fix sign: average depth must be positive
-    mean_z = jnp.sum(pc[..., 2] * w, -1) / jnp.maximum(jnp.sum(w, -1), 1e-12)
+    wb = w[..., None, :]
+    mean_z = (jnp.sum(pc[..., 2] * wb, -1)
+              / jnp.maximum(jnp.sum(wb, -1), 1e-12))
     flip = jnp.where(mean_z < 0, -1.0, 1.0)
     pc = pc * flip[..., None, None]
 
-    R, t, _ = horn_align(pw, pc, w, with_scale=False)
+    pwb = jnp.broadcast_to(pw[..., None, :, :], pc.shape)
+    R, t, _ = horn_align(pwb, pc, jnp.broadcast_to(wb, pc.shape[:-1]),
+                         with_scale=False)                  # (..., 3, 3, 3)
+
+    chi2 = _reproj_chi2(R, t, pwb, uv[..., None, :, :], fx, fy, cx, cy)
+    err = (jnp.sum(chi2 * wb, -1)
+           / jnp.maximum(jnp.sum(wb, -1), 1e-12))           # (..., 3)
+    case = jnp.argmin(err, -1)
+    R = jnp.take_along_axis(R, case[..., None, None, None], -3)[..., 0, :, :]
+    t = jnp.take_along_axis(t, case[..., None, None], -2)[..., 0, :]
     return R, t
 
 

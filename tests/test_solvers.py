@@ -327,6 +327,73 @@ class TestEPnP:
         assert inl[:n_out].mean() < 0.2
         assert inl[n_out:][keep[n_out:]].mean() > 0.85
 
+    def test_planar_scene_beta_cases(self):
+        """Degenerate/planar configurations are where the reference's
+        find_betas_approx_2/3 seeds matter (ref: src/PnPsolver.cc:
+        693-755): with all world points on one plane the 4th control
+        point collapses onto the others and the N=1 seed alone lands in
+        the wrong Gauss-Newton basin.  Sweep plane orientations + noise
+        and require consistent recovery."""
+        rng = np.random.default_rng(17)
+        n = 100
+        fails = 0
+        for trial in range(8):
+            # points on a tilted plane, plus pixel noise
+            basis = Rotation.random(random_state=rng).as_matrix()
+            pts = (np.concatenate(
+                [rng.uniform(-3, 3, (n, 2)), np.zeros((n, 1))], 1
+            ) @ basis.T).astype(np.float32)
+            T_true = cam_pose(rng, rot_deg=20, trans=0.8)
+            pc = pts @ T_true[:3, :3].T + T_true[:3, 3]
+            dz = max(0.0, 2.0 - float(pc[:, 2].min()))  # keep in front
+            pc[:, 2] += dz
+            T_true = T_true.copy()
+            T_true[2, 3] += dz
+            uv = project(pc) + rng.normal(0, 0.7, (n, 2))
+            samples = np.stack([
+                rng.choice(n, epnp.MIN_SET, replace=False)
+                for _ in range(200)
+            ]).astype(np.int32)
+            res = epnp.solve_pnp_ransac(
+                jnp.asarray(pts), jnp.asarray(uv, jnp.float32),
+                jnp.full(n, 5.991, jnp.float32) * 4.0,
+                jnp.ones(n, bool), jnp.asarray(samples),
+                FX, FY, CX, CY,
+            )
+            T_est = np.asarray(res.Tcw)
+            err = np.asarray(
+                se3.log(jnp.asarray(np.linalg.inv(T_true) @ T_est)))
+            if not (bool(res.success) and np.abs(err).max() < 0.08):
+                fails += 1
+        assert fails == 0, f"{fails}/8 planar configurations failed"
+
+    def test_near_minimal_inliers(self):
+        """Relocalization's last resort: barely more inliers than the
+        acceptance floor, rest gross outliers."""
+        rng = np.random.default_rng(23)
+        n = 50
+        n_in = 20
+        pts = make_world(rng, n)
+        T_true = cam_pose(rng, rot_deg=15, trans=0.6)
+        pc = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        uv = project(pc) + rng.normal(0, 0.4, (n, 2))
+        uv[n_in:] = rng.uniform([0, 0], [640, 480], (n - n_in, 2))
+        # 40% inliers with 6-point min sets: P(clean) ~ 0.4^6 = 4e-3,
+        # 2000 hypotheses give ~8 expected clean samples
+        samples = np.stack([
+            rng.choice(n, epnp.MIN_SET, replace=False) for _ in range(2000)
+        ]).astype(np.int32)
+        res = epnp.solve_pnp_ransac(
+            jnp.asarray(pts), jnp.asarray(uv, jnp.float32),
+            jnp.full(n, 5.991, jnp.float32) * 4.0,
+            jnp.ones(n, bool), jnp.asarray(samples),
+            FX, FY, CX, CY, min_inliers=10,
+        )
+        assert bool(res.success)
+        T_est = np.asarray(res.Tcw)
+        err = np.asarray(se3.log(jnp.asarray(np.linalg.inv(T_true) @ T_est)))
+        assert np.abs(err).max() < 0.1, err
+
 
 class TestSim3:
     def test_recovers_similarity(self):
