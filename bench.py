@@ -1,12 +1,22 @@
-"""Benchmark: stereo SLAM tracking FPS on a KITTI-shaped synthetic scene.
+"""Benchmark: stereo SLAM tracking FPS on a KITTI-shaped synthetic circuit.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline: the reference must keep up with KITTI's 10 fps dataset rate
 (BASELINE.md; Examples/Stereo/KITTI00-02.yaml:22) on an i7-class CPU;
 the rebuild's north star is >30 FPS on one TPU chip (BASELINE.json).
 vs_baseline is measured FPS / 30 (the north-star target, not the
 easier 10 fps dataset rate).
+
+Round-3 shape (VERDICT r2 next #2): 100 frames of a textured-cylinder
+circuit at KITTI geometry (1240x376, 2000 ORB features) that creates
+keyframes continuously and CLOSES ONE LOOP inside the timed window, so
+keyframe-dense stretches, loop correction, and background GBA land in
+the measurement.  Reported beyond the median: p90, worst frame, keyframe
+count, loop count, and mapping keep-up (max queue depth + mean per-KF
+mapping time) — a 30 fps median that hides 500 ms keyframe hiccups is
+not real-time (the reference paces every frame at the dataset rate,
+Examples/Stereo/stereo_kitti.cc:100-107).
 """
 
 import json
@@ -33,9 +43,13 @@ def main():
     backend_note = ("" if platform != "cpu"
                     else " [CPU FALLBACK: TPU tunnel unavailable]")
 
+    import jax.numpy as jnp  # noqa: E402
+
     from orb_slam2_tpu.config import Sensor, Settings
+    from orb_slam2_tpu.ops import frontend
+    from orb_slam2_tpu.places.vocabulary import Vocabulary
     from orb_slam2_tpu.system import System
-    from synthetic import stereo_sequence, straight_trajectory
+    from synthetic import CylinderScene, circle_trajectory
 
     # KITTI-00 stereo geometry (Examples/Stereo/KITTI00-02.yaml)
     H, W = 376, 1240
@@ -51,62 +65,105 @@ def main():
     # that otherwise floors every frame (accuracy parity pinned by
     # tests/test_pipeline.py::TestPipelinedMode)
     settings.pipelined = True
-    n_frames = 20
-    poses = straight_trajectory(n_frames, step=0.8, yaw_step=0.002)
-    scene, pairs = stereo_sequence(settings.K, H, W, BF / FX, poses)
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
+    scene = CylinderScene(settings.K, H, W, radius=8.0)
+    poses = circle_trajectory(n_frames, orbit_r=3.0,
+                              total_angle=2 * np.pi * 1.25)
+    baseline_m = BF / FX
+    Trl = np.eye(4, dtype=np.float32)
+    Trl[0, 3] = -baseline_m
+    pairs = [(scene.render(T), scene.render(Trl @ T)) for T in poses]
+
+    # tiny BoW vocabulary so loop closing runs (the full ORBvoc.txt is
+    # not in the image; the detector only needs discriminative words)
+    probe = circle_trajectory(10, orbit_r=3.0, total_angle=2 * np.pi)
+    descs = []
+    for T in probe:
+        f = frontend.extract(jnp.asarray(scene.render(T)), n_features=800)
+        descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
+    voc = Vocabulary.train(np.concatenate(descs), k=10, L=3, levels_up=1)
 
     def run_once(scheduler):
-        """One tracked pass; returns (per-frame times, tracking healthy).
+        """One tracked pass; returns (times, keepup stats, healthy).
 
         The next frame's images are prefetched right after each track
         call — the driver's dead time between frames (dataset pacing /
         camera period) overlaps the h2d image transfer, as a real
         capture pipeline does; only the track call itself is timed."""
-        s = System(settings, Sensor.STEREO, scheduler=scheduler)
+        s = System(settings, Sensor.STEREO, vocabulary=voc,
+                   scheduler=scheduler)
         times = []
+        max_queue = 0
         for i, (l, r) in enumerate(pairs):
             t0 = time.perf_counter()
             s.track_stereo(l, r, i * 0.1)
             times.append(time.perf_counter() - t0)
             if i + 1 < len(pairs):
                 s.prefetch(*pairs[i + 1])
+            max_queue = max(max_queue, len(s.local_mapper.queue))
         ok = (s.tracker.state.name == "OK"
               and int(s.map.kf_valid.sum()) >= 3)
+        stats = {
+            "n_keyframes": int(s.map.kf_valid.sum()),
+            "loops_closed": int(s.loop_closer.loops_closed
+                                if s.loop_closer else 0),
+            "max_queue": max_queue,
+        }
+        # mean mapping time per processed keyframe (keep-up: must stay
+        # under the keyframe interval for mapping to not fall behind)
+        lm = s.local_mapper.timers
+        n_kf_proc = max(lm.counts.get("lm/process_new_kf", 1), 1)
+        stats["mapper_ms_per_kf"] = round(
+            sum(lm.totals.values()) / n_kf_proc * 1e3, 1)
         if scheduler == "async":
             s.shutdown()
-        return times, ok
+        return times, stats, ok
 
     # warmup pass: drives every shape bucket through compilation (the
     # axon tunnel does not serve the persistent compile cache, so cold
-    # XLA compiles otherwise land inside the timed region)
-    run_once("sync")
+    # XLA compiles otherwise land inside the timed region).  Warm under
+    # the SAME scheduler as the timed pass — async-mode thread timing
+    # reaches different shape buckets than sync (round-3 profiling
+    # caught 26-35s compiles inside the timed window when warmup ran
+    # sync-only).
+    sched = "async"
+    run_once(sched)
 
     # timed pass (in-process jit caches stay hot) under the REFERENCE's
     # thread topology: mapping + loop closing on their own threads, the
     # timed Track* call is tracking only — exactly what the reference's
     # stereo_kitti median measures (Examples/Stereo/stereo_kitti.cc:
     # 80-122 times TrackStereo while LocalMapping runs concurrently).
-    sched = "async"
-    times, ok = run_once(sched)
+    times, stats, ok = run_once(sched)
     if not ok:
         # async degraded tracking on this host — report the sequential
         # deterministic mode instead (slower but always healthy)
         sched = "sync"
-        times, _ = run_once(sched)
+        run_once(sched)
+        times, stats, _ = run_once(sched)
 
-    # steady-state median over the full run past init
+    # steady-state stats over the full run past init
     steady = sorted(times[3:])
     median = steady[len(steady) // 2]
+    p90 = steady[int(len(steady) * 0.9)]
     fps = 1.0 / median
-    print(json.dumps({
+    out = {
         "metric": "kitti_shape_stereo_tracking_fps",
         "value": round(fps, 2),
         "unit": "frames/sec (median, 1240x376 stereo, 2000 ORB "
-                f"features, {sched} scheduler)" + backend_note,
+                f"features, {n_frames}-frame loop circuit, {sched} "
+                "scheduler)" + backend_note,
         # vs the >30 fps single-chip north star (BASELINE.json), not the
         # 10 fps KITTI dataset rate
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+        "p50_ms": round(median * 1e3, 1),
+        "p90_ms": round(p90 * 1e3, 1),
+        "worst_ms": round(steady[-1] * 1e3, 1),
+        "n_frames": n_frames,
+    }
+    out.update(stats)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -55,6 +55,11 @@ def load() -> Optional[ctypes.CDLL]:
     lib.mapcore_add_obs.argtypes = [
         c.c_void_p, c.c_int64, c.c_int32, c.c_int32, c.c_int32]
     lib.mapcore_add_obs.restype = c.c_int
+    lib.mapcore_add_obs_batch.argtypes = [
+        c.c_void_p, c.POINTER(c.c_int64), c.c_int32,
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.c_int32,
+        c.POINTER(c.c_uint8)]
+    lib.mapcore_add_obs_batch.restype = c.c_int
     lib.mapcore_erase_obs.argtypes = [c.c_void_p, c.c_int64, c.c_int32]
     lib.mapcore_erase_obs.restype = c.c_int
     lib.mapcore_clear_point.argtypes = [c.c_void_p, c.c_int64]

@@ -63,6 +63,29 @@ int mapcore_add_obs(void* h, int64_t pid, int32_t kf, int32_t feat,
     return 1;
 }
 
+// Batched same-keyframe observation add (the keyframe-insertion hot
+// path: hundreds of bound features + born points per keyframe).
+// out_added[i] = 1 if row i was inserted, 0 if (pid, kf) was already
+// present.  Returns the number inserted.
+int mapcore_add_obs_batch(void* h, const int64_t* pids, int32_t kf,
+                          const int32_t* feats, const int32_t* weights,
+                          int32_t n, uint8_t* out_added) {
+    auto* e = static_cast<Engine*>(h);
+    int added = 0;
+    for (int i = 0; i < n; ++i) {
+        auto& v = e->obs[pids[i]];
+        bool dup = false;
+        for (const auto& o : v)
+            if (o.kf == kf) { dup = true; break; }
+        if (dup) { out_added[i] = 0; continue; }
+        v.push_back({kf, feats[i], weights[i]});
+        e->n_obs[pids[i]] += weights[i];
+        out_added[i] = 1;
+        ++added;
+    }
+    return added;
+}
+
 // Returns the removed feature index, or -1 if absent.
 int mapcore_erase_obs(void* h, int64_t pid, int32_t kf) {
     auto* e = static_cast<Engine*>(h);

@@ -27,6 +27,13 @@ class PyObsEngine:
         self._n[pid] = self._n.get(pid, 0) + weight
         return True
 
+    def add_batch(self, pids, kf, feats, weights) -> np.ndarray:
+        """Same-kf batched add; returns a bool added-mask per row."""
+        out = np.zeros(len(pids), bool)
+        for i, (p, f, w) in enumerate(zip(pids, feats, weights)):
+            out[i] = self.add(int(p), int(kf), int(f), int(w))
+        return out
+
     def erase(self, pid: int, kf: int) -> int:
         v = self._obs.get(pid)
         if not v:
@@ -118,6 +125,22 @@ class NativeObsEngine:
     def add(self, pid, kf, feat, weight) -> bool:
         return bool(self._lib.mapcore_add_obs(
             self._h, int(pid), int(kf), int(feat), int(weight)))
+
+    def add_batch(self, pids, kf, feats, weights) -> np.ndarray:
+        """Same-kf batched add; returns a bool added-mask per row."""
+        pids = np.ascontiguousarray(np.asarray(pids, np.int64))
+        feats = np.ascontiguousarray(np.asarray(feats, np.int32))
+        weights = np.ascontiguousarray(np.asarray(weights, np.int32))
+        out = np.zeros(len(pids), np.uint8)
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        self._lib.mapcore_add_obs_batch(
+            self._h,
+            pids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            int(kf), feats.ctypes.data_as(p32),
+            weights.ctypes.data_as(p32), len(pids),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out.astype(bool)
 
     def erase(self, pid, kf) -> int:
         return self._lib.mapcore_erase_obs(self._h, int(pid), int(kf))

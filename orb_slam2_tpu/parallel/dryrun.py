@@ -35,16 +35,30 @@ def main(n_devices: int) -> None:
 
     mesh = multichip.make_mesh(n_devices)
 
-    # frame-parallel extraction: one tiny frame per device
+    # frame-parallel extraction: one tiny frame per device, with a
+    # CORRECTNESS gate — sharded descriptors must equal the unsharded
+    # frontend's bit-for-bit (an ok:true dryrun certifies parity, not
+    # just "it ran")
     imgs = np.random.default_rng(0).uniform(
         0, 255, (n_devices, 96, 128)
     ).astype(np.float32)
     feats = multichip.extract_batch_sharded(
         mesh, imgs, n_features=128, n_levels=3
     )
-    jax.block_until_ready(feats.desc)
+    desc = np.asarray(feats.desc)
+    from orb_slam2_tpu.ops import frontend
 
-    # edge-parallel BA: edges sharded over the mesh, one LM step
+    f0 = frontend.extract(imgs[0], 128, 3, 1.2, 20, 7, 24)
+    assert (np.asarray(f0.desc) == desc[0]).all(), \
+        "sharded extraction != single-device extraction"
+    np.testing.assert_allclose(np.asarray(f0.xy),
+                               np.asarray(feats.xy)[0], rtol=1e-5)
+
+    # edge-parallel BA: edges sharded over the mesh — sharded result
+    # must match the single-device optimizer (psum reduction order only
+    # perturbs f32 rounding, so approximate parity + tight cost match)
+    from orb_slam2_tpu.solvers import ba
+
     prob, (fx, fy, cx, cy, bf) = multichip.synthetic_ba_problem(
         n_cams=4, n_pts=64, n_edges=64 * n_devices
     )
@@ -53,6 +67,14 @@ def main(n_devices: int) -> None:
     )
     jax.block_until_ready(cam_T)
     assert np.isfinite(np.asarray(err))
+    cam_1, pts_1, err_1 = ba.optimize(
+        prob, fx, fy, cx, cy, bf, iters=2, use_kernel=True, mode="cg"
+    )
+    np.testing.assert_allclose(np.asarray(cam_T), np.asarray(cam_1),
+                               rtol=1e-2, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(pts_1),
+                               rtol=1e-2, atol=5e-3)
+    np.testing.assert_allclose(float(err), float(err_1), rtol=1e-2)
 
     # frame-parallel FULL tracking step (frontend + matching + 2x pose
     # LM in one compiled program), one tiny stereo frame per device

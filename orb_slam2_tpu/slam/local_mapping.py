@@ -191,21 +191,18 @@ class LocalMapper:
         2 keyframes of creation; release survivors after 3 keyframes."""
         store = self.store
         th_obs = 2 if self.sensor == Sensor.MONOCULAR else 3
-        keep = []
-        for pid in self.recent_points:
-            if not store.pt_valid[pid]:
-                continue
-            first = store.pt_first_kf[pid]
-            age = kf - first
-            if store.found_ratio(pid) < 0.25:
-                store.set_point_bad(pid)
-            elif age >= 2 and store.pt_n_obs[pid] <= th_obs:
-                store.set_point_bad(pid)
-            elif age >= 3:
-                pass          # survived probation
-            else:
-                keep.append(pid)
-        self.recent_points = keep
+        pids = np.asarray(self.recent_points, np.int64)
+        if len(pids) == 0:
+            return
+        pids = pids[store.pt_valid[pids]]
+        age = kf - store.pt_first_kf[pids]
+        ratio = (store.pt_found[pids].astype(np.float64)
+                 / np.maximum(store.pt_visible[pids], 1.0))
+        bad = (ratio < 0.25) | ((age >= 2)
+                                & (store.pt_n_obs[pids] <= th_obs))
+        for pid in pids[bad]:
+            store.set_point_bad(int(pid))
+        self.recent_points = pids[~bad & (age < 3)].tolist()
 
     # ------------------------------------------------------------------
     def _map_guard(self):
@@ -299,24 +296,31 @@ class LocalMapper:
         idx_b, good_b, pts_b = tri.unpack_triangulate_batch(
             pend["packed"], pend["B"], store.n_feat)
 
-        born = []
+        all_born = []
         for bi, kf2 in enumerate(pend["use"]):
             if not store.kf_valid[kf2]:
                 continue
-            good = good_b[bi]
-            idx = idx_b[bi]
-            pts = pts_b[bi]
-            for i in np.nonzero(good)[0]:
-                i = int(i)
-                j = int(idx[i])
-                if store.kf_obs[kf, i] >= 0 or store.kf_obs[kf2, j] >= 0:
-                    continue   # claimed by an earlier neighbor this batch
-                pid = store.add_point(pts[i], kf, store.kf_desc[kf, i])
-                store.add_observation(pid, kf, i)
-                store.add_observation(pid, kf2, j)
-                born.append(pid)
-        if born:
-            born = np.array(born, np.int64)
+            # batched within this neighbor: unclaimed slots on both
+            # sides, first proposal per duplicate right-feature wins;
+            # cross-neighbor claims resolve through kf_obs, which the
+            # previous neighbor's batch already updated
+            i = np.nonzero(good_b[bi])[0]
+            if len(i) == 0:
+                continue
+            j = idx_b[bi][i].astype(np.int64)
+            free = (store.kf_obs[kf, i] < 0) & (store.kf_obs[kf2, j] < 0)
+            i, j = i[free], j[free]
+            _, first = np.unique(j, return_index=True)
+            i, j = i[np.sort(first)], j[np.sort(first)]
+            if len(i) == 0:
+                continue
+            born = store.add_points_batch(
+                pts_b[bi][i].astype(np.float32), kf, store.kf_desc[kf, i])
+            store.add_observations_batch(born, kf, i)
+            store.add_observations_batch(born, kf2, j)
+            all_born.append(born)
+        if all_born:
+            born = np.concatenate(all_born)
             store.compute_distinctive_batch(born)
             store.update_points_batch(born, self.scale_factors)
             self.recent_points.extend(int(p) for p in born)
@@ -332,9 +336,7 @@ class LocalMapper:
         pids = pids[store.pt_valid[pids]]
         # skip points already observed by the target
         seen = store.kf_obs[target_kf]
-        seen_set = set(int(p) for p in seen[seen >= 0])
-        pids = np.array([p for p in pids if int(p) not in seen_set],
-                        np.int64)
+        pids = pids[~np.isin(pids, seen[seen >= 0])]
         if len(pids) == 0:
             return None
         M = self._buckets("fuse", len(pids))
@@ -368,23 +370,43 @@ class LocalMapper:
         store = self.store
         ok = np.asarray(fm.ok)[: len(pids)]
         idx = np.asarray(fm.idx)[: len(pids)]
-        n_fused = 0
-        for row in np.nonzero(ok)[0]:
-            pid = int(pids[row])
-            feat = int(idx[row])
-            if not store.pt_valid[pid]:
+        return self._apply_fuse_rows(target_kf, pids, idx, ok)
+
+    def _apply_fuse_rows(self, target_kf: int, pids, idx, ok) -> int:
+        """Merge device Fuse proposals into one keyframe, batched: the
+        conflict-free adds go through the batched observation engine;
+        only genuine replace merges (ref ORBmatcher::Fuse :925-934)
+        walk Python."""
+        store = self.store
+        rows = np.nonzero(ok)[0]
+        if len(rows) == 0:
+            return 0
+        p = pids[rows].astype(np.int64)
+        f = idx[rows].astype(np.int64)
+        live = store.pt_valid[p]
+        p, f = p[live], f[live]
+        if len(p) == 0:
+            return 0
+        # first proposal per target feature wins (sequential semantics)
+        _, first = np.unique(f, return_index=True)
+        keep = np.sort(first)
+        p, f = p[keep], f[keep]
+        existing = store.kf_obs[target_kf, f]
+        conflict = (existing >= 0) & store.pt_valid[np.maximum(existing, 0)]
+        add_p, add_f = p[~conflict], f[~conflict]
+        if len(add_p):
+            store.add_observations_batch(add_p, target_kf, add_f)
+        for pid, feat, ex in zip(p[conflict], f[conflict],
+                                 existing[conflict]):
+            pid, ex = int(pid), int(ex)
+            if not store.pt_valid[pid] or not store.pt_valid[ex]:
                 continue
-            existing = int(store.kf_obs[target_kf, feat])
-            if existing >= 0 and store.pt_valid[existing]:
-                # keep the point with more observations (ref :925-934)
-                if store.pt_n_obs[existing] > store.pt_n_obs[pid]:
-                    store.replace_point(pid, existing)
-                else:
-                    store.replace_point(existing, pid)
+            # keep the point with more observations (ref :925-934)
+            if store.pt_n_obs[ex] > store.pt_n_obs[pid]:
+                store.replace_point(pid, ex)
             else:
-                store.add_observation(pid, target_kf, feat)
-            n_fused += 1
-        return n_fused
+                store.replace_point(ex, pid)
+        return len(p)
 
     def _fuse_into_kfs_batch_dispatch(self, targets, pids: np.ndarray):
         """Device half of forward fusion: project the current keyframe's
@@ -436,21 +458,12 @@ class LocalMapper:
         for bi, t in enumerate(targets):
             if not store.kf_valid[t]:
                 continue
-            for row in np.nonzero(ok_b[bi][: len(pids)])[0]:
-                pid = int(pids[row])
-                feat = int(idx_b[bi, row])
-                if not store.pt_valid[pid]:
-                    continue
-                if store.obs.find(pid, t) >= 0:
-                    continue       # already observed by this keyframe
-                existing = int(store.kf_obs[t, feat])
-                if existing >= 0 and store.pt_valid[existing]:
-                    if store.pt_n_obs[existing] > store.pt_n_obs[pid]:
-                        store.replace_point(pid, existing)
-                    else:
-                        store.replace_point(existing, pid)
-                else:
-                    store.add_observation(pid, t, feat)
+            ok = ok_b[bi][: len(pids)].copy()
+            # drop points this keyframe already observes (kf_obs mirrors
+            # the observation engine, so membership is one isin)
+            row_t = store.kf_obs[t]
+            ok &= ~np.isin(pids, row_t[row_t >= 0])
+            self._apply_fuse_rows(t, pids, idx_b[bi][: len(pids)], ok)
 
     def _search_in_neighbors(self, kf: int):
         """ref: LocalMapping::SearchInNeighbors (src/LocalMapping.cc:454):

@@ -282,11 +282,10 @@ class MapStore:
             # adopt the frame's device-resident feature block: zero-copy
             self.kf_dev[kf] = dict(feats.dev)
         if bindings is not None:
-            for feat in np.nonzero(bindings >= 0)[0]:
-                pid = int(bindings[feat])
-                pid = self.resolve_replaced(pid)
-                if pid >= 0 and self.pt_valid[pid]:
-                    self.add_observation(pid, kf, int(feat))
+            feats = np.nonzero(bindings >= 0)[0]
+            pids = self.resolve_replaced_batch(bindings[feats])
+            ok = (pids >= 0) & self.pt_valid[np.maximum(pids, 0)]
+            self.add_observations_batch(pids[ok], kf, feats[ok])
         return kf
 
     def camera_center(self, kf: int) -> np.ndarray:
@@ -311,6 +310,44 @@ class MapStore:
         self.mark_dirty(pid)
         return pid
 
+    def add_points_batch(self, pos: np.ndarray, ref_kf: int,
+                         descs: np.ndarray) -> np.ndarray:
+        """Vectorized add_point over a block of new points (keyframe
+        insertion births up to hundreds at once, ref: Tracking::
+        CreateNewKeyFrame src/Tracking.cc:1078-1133)."""
+        B = len(pos)
+        if B == 0:
+            return np.zeros(0, np.int64)
+        while self.n_pt + B > self.pt_cap:
+            self._grow_pt()
+        pids = np.arange(self.n_pt, self.n_pt + B, dtype=np.int64)
+        self.n_pt += B
+        self.pt_valid[pids] = True
+        self.pt_pos[pids] = pos
+        self.pt_desc[pids] = descs
+        self.pt_first_kf[pids] = ref_kf
+        self.pt_ref_kf[pids] = ref_kf
+        self.pt_visible[pids] = 1
+        self.pt_found[pids] = 1
+        self.mark_dirty(pids)
+        return pids
+
+    def add_observations_batch(self, pids: np.ndarray, kf: int,
+                               feats: np.ndarray):
+        """Same-keyframe batched AddObservation: one native engine call
+        instead of a Python round-trip per feature."""
+        pids = np.asarray(pids, np.int64)
+        feats = np.asarray(feats, np.int64)
+        if len(pids) == 0:
+            return
+        prev = self.kf_obs[kf, feats]
+        for i in np.nonzero((prev >= 0) & (prev != pids))[0]:
+            self._unbind(int(prev[i]), kf, int(feats[i]))
+        w = np.where(self.kf_ur[kf, feats] >= 0, 2, 1).astype(np.int32)
+        added = self.obs.add_batch(pids, kf, feats.astype(np.int32), w)
+        self.kf_obs[kf, feats[added]] = pids[added]
+        np.add.at(self.pt_n_obs, pids[added], w[added])
+
     def resolve_replaced(self, pid: int) -> int:
         """Follow Replace() chains (ref: MapPoint::GetReplaced)."""
         seen = 0
@@ -318,6 +355,18 @@ class MapStore:
             pid = int(self.pt_replaced_by[pid])
             seen += 1
         return pid
+
+    def resolve_replaced_batch(self, pids: np.ndarray) -> np.ndarray:
+        """Vectorized Replace()-chain resolution (chains are short; 8
+        fancy-indexed passes cover any realistic depth)."""
+        resolved = np.asarray(pids, np.int64).copy()
+        for _ in range(8):
+            rep = self.pt_replaced_by[np.maximum(resolved, 0)]
+            step = (resolved >= 0) & (rep >= 0)
+            if not step.any():
+                break
+            resolved = np.where(step, rep, resolved)
+        return resolved
 
     def add_observation(self, pid: int, kf: int, feat: int):
         """ref: MapPoint::AddObservation (src/MapPoint.cc:98-109);

@@ -592,7 +592,8 @@ class Tracker:
 
         n_feat = padded_total(
             self.s.n_features, self.s.n_levels, self.s.scale_factor)
-        res, desc_np = ts.unpack_track_out(out, n_feat, meta["M"])
+        with self.timers("pipe/unpack"):
+            res, desc_np = ts.unpack_track_out(out, n_feat, meta["M"])
         last = self.last_frame
         cand = meta["cand"]
 
@@ -630,7 +631,7 @@ class Tracker:
         frame.outlier = (bindings >= 0) & ~res.inlier
         last_pids = np.where(last.bindings >= 0, last.bindings, 0)
 
-        with store.lock:
+        with store.lock, self.timers("pipe/apply"):
             return self._apply_fast_result(
                 frame, last, res, cand, last_pids, bindings)
 
@@ -1366,28 +1367,36 @@ class Tracker:
         self.ref_kf = kf
         frame.ref_kf = kf
         if self.sensor != Sensor.MONOCULAR:
+            # vectorized CreateNewKeyFrame point birth (ref src/Tracking
+            # .cc:1078-1133): depth-sorted candidates, create where the
+            # binding is missing/bad/observation-less, stop after the
+            # first candidate beyond ThDepth once >100 processed
             depth = frame.feats.depth
             cand = np.nonzero((depth > 0) & frame.feats.valid)[0]
             order = cand[np.argsort(depth[cand])]
-            n_pts = 0
-            born = []
-            for i in order:
-                i = int(i)
-                pid = int(frame.bindings[i])
-                pid = store.resolve_replaced(pid) if pid >= 0 else -1
-                create = pid < 0 or not store.pt_valid[pid] \
-                    or store.pt_n_obs[pid] < 1
-                if create:
-                    pos = self._unproject(frame, i)
-                    new_pid = store.add_point(pos, kf, frame.feats.desc[i])
-                    store.add_observation(new_pid, kf, i)
-                    frame.bindings[i] = new_pid
-                    born.append(new_pid)
-                n_pts += 1
-                if depth[i] > self.s.depth_threshold and n_pts > 100:
-                    break
-            if born:
-                born = np.array(born, np.int64)
+            stop = (depth[order] > self.s.depth_threshold) & (
+                np.arange(len(order)) + 1 > 100)
+            first_stop = np.argmax(stop) if stop.any() else len(order) - 1
+            order = order[: first_stop + 1] if len(order) else order
+            pid = store.resolve_replaced_batch(frame.bindings[order])
+            create = ((pid < 0) | ~store.pt_valid[np.maximum(pid, 0)]
+                      | (store.pt_n_obs[np.maximum(pid, 0)] < 1))
+            rows = order[create]
+            if len(rows):
+                # batched stereo unprojection (ref Frame::UnprojectStereo)
+                z = depth[rows].astype(np.float32)
+                u = frame.feats.xy[rows, 0]
+                v = frame.feats.xy[rows, 1]
+                pc = np.stack([
+                    (u - self.s.cx) * z / self.s.fx,
+                    (v - self.s.cy) * z / self.s.fy,
+                    z, np.ones_like(z)], -1)
+                Twc = np.linalg.inv(frame.Tcw)
+                pos = (pc @ Twc.T)[:, :3].astype(np.float32)
+                born = store.add_points_batch(pos, kf,
+                                              frame.feats.desc[rows])
+                store.add_observations_batch(born, kf, rows)
+                frame.bindings[rows] = born
                 store.compute_distinctive_batch(born)
                 store.update_points_batch(born, self.scale_factors)
         self.last_kf_frame_id = frame.frame_id

@@ -77,15 +77,22 @@ def _edge_residual_jacobians(prob: PoseGraphProblem):
 
 @functools.partial(jax.jit, static_argnames=("iters", "mode", "cg_iters"))
 def optimize(prob: PoseGraphProblem, iters: int = 20, mode: str = "dense",
-             cg_iters: int = 100):
+             cg_iters: int | None = None):
     """Returns optimized (R, t, s) per keyframe.
 
     mode="dense" materializes the 7K x 7K normal matrix (one MXU solve,
     right for the <= a-few-hundred-KF maps); mode="cg" runs block-Jacobi
     preconditioned conjugate gradients with a matrix-free matvec over the
     per-edge 7x7 blocks — O(E) memory, the path for 1000+ keyframe
-    essential graphs."""
+    essential graphs.  cg_iters defaults to 2K: with a block-Jacobi
+    preconditioner a correction propagates ~1 vertex per CG step, so a
+    K-ring (the dominant structure of an odometry pose graph) needs
+    O(K) iterations — 100 fixed iterations silently under-converges a
+    1000-KF loop closure (measured: err 20.7m at 300 iters vs 9mm at
+    2000 iters on a 1000-KF drifted ring)."""
     K = prob.R.shape[0]
+    if cg_iters is None:
+        cg_iters = max(100, 2 * K)
 
     def total_error(R, t, s):
         p = prob._replace(R=R, t=t, s=s)

@@ -33,6 +33,8 @@ settings = Settings(
     n_features=2000, fps=10.0, th_depth=35.0,
 )
 settings.pipelined = True
+settings.pipeline_depth = int(os.environ.get("BP_DEPTH", "3"))
+settings.chain_max_age = int(os.environ.get("BP_AGE", "4"))
 n_frames = int(os.environ.get("BP_FRAMES", "20"))
 poses = straight_trajectory(n_frames, step=0.8, yaw_step=0.002)
 scene, pairs = stereo_sequence(settings.K, H, W, BF / FX, poses)

@@ -254,3 +254,87 @@ def circle_trajectory(n: int, orbit_r: float = 2.0,
         Tcw[:3, 3] = -Rwc.T @ Cw
         poses.append(Tcw.astype(np.float32))
     return poses
+
+
+def build_ring_map(K: int, pts_per_kf: int, span: int, n_feat: int,
+                   drift_per_kf: float = 0.0, seed: int = 3):
+    """Synthetic reference-scale map: K keyframes on a big ring, each
+    spawning pts_per_kf world points observed by `span` consecutive
+    keyframes (covisibility weight between neighbors ~ (span-1) *
+    pts_per_kf, so strong >= 100 essential-graph edges exist).  With
+    drift_per_kf > 0 the stored poses accumulate translational drift
+    around the ring while points stay attached to their birth keyframe's
+    drifted frame — the classic pre-loop-closure state.
+
+    Returns (store, true_poses[K]).  Scale-test harness, not a renderer:
+    feature slots carry random descriptors and on-ring pixel coords.
+    """
+    import numpy as np
+
+    from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
+
+    rng = np.random.default_rng(seed)
+    ring_r = 30.0
+    store = MapStore(n_feat, kf_cap=K + 8,
+                     pt_cap=max(1 << 12, 2 * K * pts_per_kf))
+    true_poses = []
+    drift = np.zeros(3)
+    drifted = []
+    for k in range(K):
+        phi = 2 * np.pi * k / K
+        Cw = np.array([ring_r * np.sin(phi), 0.0, ring_r * np.cos(phi)])
+        z = np.array([np.sin(phi), 0.0, np.cos(phi)])
+        x = np.array([np.cos(phi), 0.0, -np.sin(phi)])
+        y = np.cross(z, x)
+        Rwc = np.stack([x, y, z], -1)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rwc.T
+        T[:3, 3] = -Rwc.T @ Cw
+        true_poses.append(T.copy())
+        Td = T.copy()
+        Td[:3, 3] = -Rwc.T.astype(np.float32) @ (Cw + drift)
+        drifted.append(Td)
+        drift = drift + np.array([drift_per_kf, 0.0, drift_per_kf * 0.5])
+
+    def feats():
+        n = n_feat
+        return FrameFeatures(
+            xy=rng.uniform(0, 200, (n, 2)).astype(np.float32),
+            xy_raw=np.zeros((n, 2), np.float32),
+            ur=np.full(n, 1.0, np.float32),
+            depth=np.full(n, 5.0, np.float32),
+            octave=np.zeros(n, np.int32),
+            angle=np.zeros(n, np.float32),
+            desc=rng.integers(0, 2**32, (n, 8), dtype=np.uint32),
+            valid=np.ones(n, bool),
+            node=np.full(n, -1, np.int32),
+            word=np.full(n, -1, np.int32),
+        )
+
+    kf_ids = [store.add_keyframe(feats(), drifted[k], float(k), k)
+              for k in range(K)]
+    # points born at each keyframe, in front of its drifted camera,
+    # observed by the next `span` keyframes
+    next_slot = np.zeros(K, np.int64)
+    for k in range(K):
+        Td = drifted[k]
+        Cw = -Td[:3, :3].T @ Td[:3, 3]
+        outward = Td[:3, :3].T @ np.array([0, 0, 1.0])
+        for _ in range(pts_per_kf):
+            p = (Cw + outward * rng.uniform(4, 8)
+                 + rng.normal(0, 1.0, 3))
+            pid = store.add_point(p.astype(np.float32), kf_ids[k],
+                                  rng.integers(0, 2**32, 8,
+                                               dtype=np.uint32))
+            for d in range(span):
+                ko = k + d
+                if ko >= K:
+                    break
+                slot = int(next_slot[ko])
+                if slot >= n_feat:
+                    continue
+                next_slot[ko] += 1
+                store.add_observation(pid, kf_ids[ko], slot)
+    for k in range(K):
+        store.update_connections(kf_ids[k])
+    return store, true_poses

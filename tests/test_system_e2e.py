@@ -421,3 +421,84 @@ class TestAsyncScheduler:
         sys_.shutdown()
         for w in sys_._workers:
             assert not w.is_alive()
+
+    def test_async_soak_concurrent(self, cylinder_world):
+        """Genuinely concurrent soak (VERDICT r2 next #4): 200 frames
+        paced at camera fps ONLY — no per-frame quiescence drain — so
+        tracking, mapping, loop closing, and background GBA actually
+        overlap.  Asserts no deadlock, store invariants, >= 1 loop, a
+        recovered tracking state, and that overlap really happened."""
+        import time
+
+        settings, scene, voc = cylinder_world
+        sys_ = System(settings, Sensor.STEREO, vocabulary=voc,
+                      scheduler="async")
+        n_frames = 200
+        poses = circle_trajectory(n_frames, orbit_r=2.0,
+                                  total_angle=2 * np.pi * 1.6)
+        Trl = np.eye(4, dtype=np.float32)
+        Trl[0, 3] = -BASELINE
+        lc = sys_.loop_closer
+        period = 1.0 / settings.fps
+        overlap_mapper = 0
+        overlap_gba = 0
+        t_next = time.time()
+        for i, T in enumerate(poses):
+            # render outside the pace window (host-side scene cost is
+            # not part of the camera period)
+            left, right = scene.render(T), scene.render(Trl @ T)
+            now = time.time()
+            if now < t_next:
+                time.sleep(t_next - now)
+            t_next = max(t_next + period, time.time())
+            sys_.track_stereo(left, right, i * period)
+            if not sys_.local_mapper.idle() or not lc.idle():
+                overlap_mapper += 1
+            if lc.gba is not None and lc.gba.running:
+                overlap_gba += 1
+
+        # quiescence within a bounded wait = no deadlock
+        t0 = time.time()
+        while time.time() - t0 < 300:
+            if sys_.local_mapper.idle() and lc.idle() and (
+                    lc.gba is None or not lc.gba.running):
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("workers never quiesced (deadlock?)")
+
+        # overlap really happened: this test is worthless if the
+        # threads only ever ran while tracking slept
+        assert overlap_mapper > 10, overlap_mapper
+        assert lc.loops_closed >= 1
+        if lc.gba is not None and lc.gba.runs_finished > 0:
+            assert overlap_gba > 0, \
+                "GBA finished but never overlapped a tracked frame"
+
+        # store invariants under the lock
+        store = sys_.map
+        with store.lock:
+            kfs = store.valid_kf_ids()
+            assert np.isfinite(store.kf_pose[kfs]).all()
+            rows = store.kf_obs[kfs]
+            bound = rows[rows >= 0]
+            assert (bound < store.n_pt).all(), "out-of-range pid bound"
+            pids = store.valid_pt_ids()
+            assert np.isfinite(store.pt_pos[pids]).all()
+            # every observation-engine entry is mirrored in kf_obs
+            idx, okfs, ofeats = store.obs.dump(pids)
+            mirrored = store.kf_obs[okfs, ofeats] == pids[idx]
+            assert mirrored.all(), (
+                f"{int((~mirrored).sum())} engine entries not mirrored")
+
+        # tracking must end OK or recover on already-mapped ground
+        if sys_.tracker.state.name != "OK":
+            for j, T in enumerate(poses[:30]):
+                sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                                  1000 + j * period)
+                if sys_.tracker.state.name == "OK":
+                    break
+        assert sys_.tracker.state.name == "OK"
+        sys_.shutdown()
+        for w in sys_._workers:
+            assert not w.is_alive()
