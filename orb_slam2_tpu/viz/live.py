@@ -83,12 +83,45 @@ class MapRenderer:
         self._last_view = _look_at(
             np.array([self.vx, self.vy, self.vz]),
             np.zeros(3), np.array([0.0, -1.0, 0.0]))
+        # free-orbit camera for non-follow mode (Pangolin's mouse
+        # navigation equivalent, ref: src/Viewer.cc:59-66 + :87-103
+        # non-follow branch): azimuth/elevation/radius around a pannable
+        # target, driven by /view HTTP deltas (mouse drag + wheel)
+        r0 = float(np.linalg.norm([self.vx, self.vy, self.vz])) or 5.0
+        self.orbit = {"az": 0.0, "el": 0.35, "r": r0}
+        self.orbit_target = np.zeros(3, np.float64)
+        self._orbit_active = False
+
+    # -- free-orbit camera ----------------------------------------------
+    def orbit_update(self, daz=0.0, delv=0.0, dr=1.0, dx=0.0, dy=0.0):
+        """Apply a mouse/wheel delta: rotate (daz, delv radians), zoom
+        (dr multiplicative), pan (dx, dy in view-plane units of r)."""
+        o = self.orbit
+        o["az"] = float((o["az"] + daz) % (2 * np.pi))
+        o["el"] = float(np.clip(o["el"] + delv, -1.45, 1.45))
+        o["r"] = float(np.clip(o["r"] * dr, 0.05, 1e4))
+        if dx or dy:
+            R = self._orbit_view()[:3, :3]
+            self.orbit_target = (self.orbit_target
+                                 + R.T @ np.array([dx, dy, 0.0]) * o["r"])
+        self._orbit_active = True
+
+    def _orbit_view(self) -> np.ndarray:
+        o = self.orbit
+        ca, sa = np.cos(o["az"]), np.sin(o["az"])
+        ce, se = np.cos(o["el"]), np.sin(o["el"])
+        eye = self.orbit_target + o["r"] * np.array([sa * ce, -se, -ca * ce])
+        return _look_at(eye, self.orbit_target,
+                        np.array([0.0, -1.0, 0.0]))
 
     # -- projection ----------------------------------------------------
     def _view_matrix(self, follow: bool) -> np.ndarray:
         """Follow mode composes the viewpoint look-at (expressed in the
         current camera's frame) with Tcw, exactly what Pangolin's
-        Follow(Twc) does (ref: src/Viewer.cc:87-103)."""
+        Follow(Twc) does (ref: src/Viewer.cc:87-103).  Non-follow mode
+        gives the free-orbit camera once the user has moved it, else the
+        last follow view (Pangolin likewise leaves the free camera where
+        it was)."""
         tracker = self.system.tracker
         Tcw = None
         fr = tracker.current
@@ -101,6 +134,8 @@ class MapRenderer:
                      np.zeros(3), np.array([0.0, -1.0, 0.0]))
         if follow and Tcw is not None:
             self._last_view = (L @ Tcw).astype(np.float32)
+        elif not follow and self._orbit_active:
+            return self._orbit_view().astype(np.float32)
         return self._last_view
 
     def _project(self, pts: np.ndarray, view: np.ndarray):
@@ -254,9 +289,26 @@ _PAGE = """<!doctype html><html><head><title>orb_slam2_tpu viewer</title>
 <div class="menu" id="menu"></div>
 <p id="state"></p>
 <table><tr>
- <td><img src="/map.mjpg" width="640"></td>
+ <td><img id="map" src="/map.mjpg" width="640" draggable="false"
+      style="cursor:grab"></td>
  <td><img src="/frame.mjpg" width="640"></td>
 </tr></table>
+<script>
+// free-orbit navigation on the map view (disable Follow Camera first):
+// drag = rotate, shift-drag = pan, wheel = zoom
+const mapEl=document.getElementById("map");
+let drag=null;
+mapEl.onmousedown=e=>{drag=[e.clientX,e.clientY,e.shiftKey];e.preventDefault();};
+window.onmouseup=()=>{drag=null;};
+window.onmousemove=e=>{
+ if(!drag) return;
+ const dx=e.clientX-drag[0], dy=e.clientY-drag[1];
+ drag=[e.clientX,e.clientY,drag[2]];
+ if(drag[2]) fetch(`/view?dx=${-dx*0.002}&dy=${-dy*0.002}`);
+ else fetch(`/view?daz=${dx*0.008}&delv=${dy*0.008}`);
+};
+mapEl.onwheel=e=>{fetch(`/view?dr=${e.deltaY>0?1.12:0.89}`);e.preventDefault();};
+</script>
 <script>
 const MENUS=[["follow_camera","Follow Camera"],["show_points","Show Points"],
  ["show_keyframes","Show KeyFrames"],["show_graph","Show Graph"],
@@ -477,6 +529,18 @@ class LiveViewer:
                         except KeyError:
                             self._send(404, "text/plain", b"unknown menu")
                             return
+                    self._send(200, "application/json", b"{}")
+                elif url.path == "/view":
+                    # free-orbit camera deltas (non-follow mode):
+                    # daz/delv radians, dr multiplicative zoom, dx/dy pan
+                    kw = {}
+                    for k, v in parse_qsl(url.query):
+                        if k in ("daz", "delv", "dr", "dx", "dy"):
+                            try:
+                                kw[k] = float(v)
+                            except ValueError:
+                                pass
+                    viewer.renderer.orbit_update(**kw)
                     self._send(200, "application/json", b"{}")
                 else:
                     self._send(404, "text/plain", b"not found")

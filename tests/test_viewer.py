@@ -105,3 +105,22 @@ class TestLiveViewer:
         assert not tracked_system.tracker.only_tracking
         status, _ = _get(port, "/menu?bogus=1")
         assert status == 404
+
+
+def test_orbit_camera(tracked_system):
+    """Free-orbit navigation (Pangolin non-follow parity): /view deltas
+    rotate/zoom/pan the non-follow camera and change the rendered map."""
+    from orb_slam2_tpu.viz.live import MapRenderer
+
+    r = MapRenderer(tracked_system)
+    base = r.render(follow=False)
+    r.orbit_update(daz=1.2, delv=0.2)
+    turned = r.render(follow=False)
+    assert (base != turned).any(), "orbit rotation changed nothing"
+    r.orbit_update(dr=0.5)
+    zoomed = r.render(follow=False)
+    assert (turned != zoomed).any(), "orbit zoom changed nothing"
+    az0 = r.orbit["az"]
+    r.orbit_update(dx=0.1, dy=-0.05)
+    assert r.orbit["az"] == az0
+    assert np.linalg.norm(r.orbit_target) > 0
