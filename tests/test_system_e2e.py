@@ -335,6 +335,7 @@ class TestMonocularLoopClosing:
     stereo, which fixes scale — this pins the s != 1 estimation and the
     scale-drift correction end-to-end."""
 
+    @pytest.mark.slow
     def test_mono_circuit_closes_loop(self, cylinder_world):
         settings, scene, voc = cylinder_world
         sys_ = System(settings, Sensor.MONOCULAR, vocabulary=voc)
@@ -371,6 +372,7 @@ class TestAsyncScheduler:
     tracking on the caller thread, LocalMapping and LoopClosing each on
     their own thread, GBA spawned in the background by LoopClosing."""
 
+    @pytest.mark.slow
     def test_async_circuit_closes_loop(self, cylinder_world):
         import time
 
@@ -422,6 +424,7 @@ class TestAsyncScheduler:
         for w in sys_._workers:
             assert not w.is_alive()
 
+    @pytest.mark.slow
     def test_async_soak_concurrent(self, cylinder_world):
         """Genuinely concurrent soak (VERDICT r2 next #4): 200 frames
         paced at camera fps ONLY — no per-frame quiescence drain — so
