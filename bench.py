@@ -66,8 +66,13 @@ def main():
     # tests/test_pipeline.py::TestPipelinedMode)
     settings.pipelined = True
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
-    scene = CylinderScene(settings.K, H, W, radius=8.0)
+    n_frames = int(os.environ.get("BENCH_FRAMES", "200"))
+    # tex_h=2048: vertical texture period 17 m > the visible span at
+    # far-wall depth, so no repeated-texture descriptor aliasing (the
+    # 512 default repeats every 4.27 m — real scenes don't tile)
+    scene = CylinderScene(settings.K, H, W, radius=8.0, tex_h=2048)
+    # 1.25 orbits over 200 frames = 2.25 deg/frame yaw (KITTI-00 turns
+    # peak ~3 deg/frame at 10 fps; sustained straights are gentler)
     poses = circle_trajectory(n_frames, orbit_r=3.0,
                               total_angle=2 * np.pi * 1.25)
     baseline_m = BF / FX
@@ -95,7 +100,18 @@ def main():
                    scheduler=scheduler)
         times = []
         max_queue = 0
+        # frames arrive at the DATASET rate, exactly like the reference
+        # driver (stereo_kitti.cc:100-107 sleeps to the 10 fps KITTI
+        # timestamp grid); the timed quantity is the track call itself.
+        # Unpaced slamming would starve the concurrent mapping thread of
+        # its inter-frame budget — something no real camera does.
+        period = 1.0 / settings.fps
+        t_next = time.perf_counter()
         for i, (l, r) in enumerate(pairs):
+            now = time.perf_counter()
+            if now < t_next:
+                time.sleep(t_next - now)
+            t_next = max(t_next + period, time.perf_counter())
             t0 = time.perf_counter()
             s.track_stereo(l, r, i * 0.1)
             times.append(time.perf_counter() - t0)
@@ -103,12 +119,14 @@ def main():
                 s.prefetch(*pairs[i + 1])
             max_queue = max(max_queue, len(s.local_mapper.queue))
         ok = (s.tracker.state.name == "OK"
-              and int(s.map.kf_valid.sum()) >= 3)
+              and int(s.map.kf_valid.sum()) >= 3
+              and s.tracker.resets == 0)
         stats = {
             "n_keyframes": int(s.map.kf_valid.sum()),
             "loops_closed": int(s.loop_closer.loops_closed
                                 if s.loop_closer else 0),
             "max_queue": max_queue,
+            "n_resets": s.tracker.resets,
         }
         # mean mapping time per processed keyframe (keep-up: must stay
         # under the keyframe interval for mapping to not fall behind)

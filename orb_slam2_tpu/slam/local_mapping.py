@@ -96,7 +96,14 @@ class LocalMapper:
         if (self.loop_closer is not None
                 and self.loop_closer.gba is not None):
             self.loop_closer.gba.request_stop()
-        self.store = store
+        self.abort_ba = True
+        # swap under the OLD store's lock (RLock — safe when the caller
+        # already holds it): process_one's stages each run under that
+        # lock and re-check `self.store is not store` at every stage
+        # boundary, so holding it for the swap guarantees no stage can
+        # capture the new store while still holding the old store's lock
+        with self.store.lock:
+            self.store = store
         self.queue.clear()
         self.recent_points.clear()
         # cascade so the loop closer never holds a discarded map
@@ -130,24 +137,43 @@ class LocalMapper:
             kf = self.queue.pop(0)
             self.current_kf = kf
             self.abort_ba = False
-            lock = self.store.lock
+            # snapshot the store: Tracker.reset swaps self.store under a
+            # mid-flight pass.  The swap itself happens while HOLDING the
+            # old store's lock (see reset()), so checking `self.store is
+            # store` while we hold that lock is authoritative — if it
+            # still matches, no swap can land until the stage releases
+            # the lock, and every stage helper's own `self.store` read
+            # then sees the store whose lock we hold.  On a mismatch the
+            # pass bails; its earlier writes went to the discarded map.
+            store = self.store
+            lock = store.lock
             with lock, self.timers("lm/process_new_kf"):
+                if self.store is not store:
+                    return
                 self._process_new_keyframe(kf)
             with lock, self.timers("lm/cull_points"):
+                if self.store is not store:
+                    return
                 self._cull_map_points(kf)
             # triangulation/fusion: gather + dispatch under the lock,
             # WAIT for the device outside it (the tunnel wait is the
             # stage's dominant cost and the tracking thread needs the
             # lock every frame), re-validate + apply under the lock
             with lock, self.timers("lm/triangulate"):
+                if self.store is not store:
+                    return
                 pend_tri = self._triangulate_dispatch(kf)
             if pend_tri is not None:
                 with self.timers("lm/triangulate_wait"):
                     jax.block_until_ready(pend_tri["packed"])
                 with lock, self.timers("lm/triangulate_apply"):
+                    if self.store is not store:
+                        return
                     self._triangulate_apply(kf, pend_tri)
             if not self.queue:
                 with lock, self.timers("lm/fuse_neighbors"):
+                    if self.store is not store:
+                        return
                     pend_fuse = self._fuse_neighbors_dispatch(kf)
                 if pend_fuse is not None:
                     with self.timers("lm/fuse_wait"):
@@ -156,13 +182,19 @@ class LocalMapper:
                         if pend_fuse["rev"] is not None:
                             jax.block_until_ready(pend_fuse["rev"][1])
                 with lock, self.timers("lm/fuse_apply"):
+                    if self.store is not store:
+                        return
                     self._fuse_neighbors_apply(kf, pend_fuse)
             if not self.queue and not self.abort_ba:
-                if int(self.store.kf_valid.sum()) > 2:
+                if int(store.kf_valid.sum()) > 2:
                     with self.timers("lm/local_ba"):
                         self.local_bundle_adjustment(kf)
                 with lock, self.timers("lm/cull_keyframes"):
+                    if self.store is not store:
+                        return
                     self._cull_keyframes(kf)
+            if self.store is not store:
+                return
             if self.loop_closer is not None:
                 self.loop_closer.insert_keyframe(kf)
             for cb in self.on_keyframe:
@@ -521,10 +553,14 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _gather_ba_problem(
-        self, cams: List[int], fixed: List[int], pids: np.ndarray
+        self, cams: List[int], fixed: List[int], pids: np.ndarray,
+        store: Optional[MapStore] = None,
     ) -> Tuple[ba.BAProblem, Dict[int, int], np.ndarray, list]:
-        """Pack a window into a fixed-shape BAProblem (bucketed padding)."""
-        store = self.store
+        """Pack a window into a fixed-shape BAProblem (bucketed padding).
+
+        `store` lets local_bundle_adjustment keep the whole pass on the
+        store it captured before a concurrent reset swap."""
+        store = self.store if store is None else store
         all_cams = list(cams) + list(fixed)
         cam_index = {c: i for i, c in enumerate(all_cams)}
         K = self._buckets("K", len(all_cams))
@@ -581,7 +617,13 @@ class LocalMapper:
         """ref: Optimizer::LocalBundleAdjustment (src/Optimizer.cc:453-780):
         optimize the 1-ring covisible window + its points, others fixed;
         5 iterations, outlier pass, 10 more, erase outlier observations."""
+        # capture store ONCE: a concurrent Tracker.reset swaps self.store,
+        # and mixing the pre-swap store with post-swap self.store reads
+        # acquires one store's lock and releases the other's (observed as
+        # 'cannot release un-acquired lock' killing the mapping thread).
+        # Running wholly on the old store is safe — reset discards it.
         store = self.store
+        lock = store.lock
         cams = [kf] + [c for c in store.ordered_covisibles(kf)]
         cams = [c for c in cams if store.kf_valid[c]]
         pids = store.points_in_kfs(cams)
@@ -604,9 +646,9 @@ class LocalMapper:
             cam_set.discard(origin)
             fixed = sorted(set(fixed) | {origin})
         # gauge: fix origin / first keyframe if present (ref :471-475)
-        with self.store.lock, self.timers("lm/ba_gather"):
+        with lock, self.timers("lm/ba_gather"):
             prob, cam_index, pids, e_feat = self._gather_ba_problem(
-                cams, fixed, pids
+                cams, fixed, pids, store=store
             )
         fx, fy, cx, cy, bf = self._intrinsics()
         # one fused device dispatch for the whole 5-iter / outlier /
@@ -617,25 +659,24 @@ class LocalMapper:
                 second_round=not self.abort_ba,
             ))
 
-        # erase outlier observations (ref :718-760)
-        self.store.lock.acquire()
-        for e in np.nonzero(bad & valid_e)[0]:
-            c, feat = e_feat[e]
-            pid = int(store.kf_obs[c, feat])
-            if pid >= 0:
-                store.erase_observation(pid, c)
+        with lock:
+            # erase outlier observations (ref :718-760)
+            for e in np.nonzero(bad & valid_e)[0]:
+                c, feat = e_feat[e]
+                pid = int(store.kf_obs[c, feat])
+                if pid >= 0:
+                    store.erase_observation(pid, c)
 
-        # write back (ref :760-779)
-        with self.timers("lm/ba_writeback"):
-            fixed_set = set(fixed)
-            for c, i in cam_index.items():
-                if c not in fixed_set:
-                    store.kf_pose[c] = cam_T[i]
-            live = store.pt_valid[pids]
-            store.pt_pos[pids[live]] = pts[:len(pids)][live]
-            store.update_points_batch(pids, self.scale_factors)
-            store.mark_dirty(pids)
-        self.store.lock.release()
+            # write back (ref :760-779)
+            with self.timers("lm/ba_writeback"):
+                fixed_set = set(fixed)
+                for c, i in cam_index.items():
+                    if c not in fixed_set:
+                        store.kf_pose[c] = cam_T[i]
+                live = store.pt_valid[pids]
+                store.pt_pos[pids[live]] = pts[:len(pids)][live]
+                store.update_points_batch(pids, self.scale_factors)
+                store.mark_dirty(pids)
 
     def global_bundle_adjustment(self, iters: int = 20,
                                  fixed_kf: Optional[int] = None,

@@ -8,8 +8,12 @@ rounds until >=50 inliers.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax.numpy as jnp
 import numpy as np
+
+_DEBUG_TRACK = _os.environ.get("ORB_DEBUG_TRACK", "0") == "1"
 
 from orb_slam2_tpu.config import Settings
 from orb_slam2_tpu.ops import matching
@@ -36,6 +40,9 @@ class Relocalizer:
             return False
         candidates = self.db.detect_reloc_candidates(
             frame.feats.word, store)
+        if _DEBUG_TRACK:
+            print(f"[dbg]   reloc f{frame.frame_id} candidates="
+                  f"{candidates[:8]}", flush=True)
         if not candidates:
             return False
 
@@ -55,6 +62,9 @@ class Relocalizer:
             )
             idx, _, ok = matching.to_host(m)
             ok = ok & kf_has
+            if _DEBUG_TRACK:
+                print(f"[dbg]   reloc kf={kf} bow={int(ok.sum())}",
+                      flush=True)
             if int(ok.sum()) < 15:
                 continue
 
@@ -85,6 +95,8 @@ class Relocalizer:
                 jnp.float32(self.s.cx), jnp.float32(self.s.cy),
             )
             if not bool(res.success):
+                if _DEBUG_TRACK:
+                    print(f"[dbg]   reloc kf={kf} ransac FAILED", flush=True)
                 continue
             frame.Tcw = np.asarray(res.Tcw, np.float32)
             frame.bindings[:] = -1
@@ -134,6 +146,8 @@ class Relocalizer:
                 n_good = tracker._optimize_pose(frame)
                 tracker._discard_outliers(frame)
 
+            if _DEBUG_TRACK:
+                print(f"[dbg]   reloc kf={kf} n_good={n_good}", flush=True)
             if n_good >= 50:
                 return True
         return False

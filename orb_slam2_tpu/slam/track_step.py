@@ -27,7 +27,7 @@ modular slow path.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -356,12 +356,22 @@ def _build_track_step(settings, mode: str):
     return step
 
 
-def unpack_track_out(out: TrackOut, n: int, m: int) -> TrackResult:
+# number of trailing diagnostic floats in the CHAINED step's pack
+# (n_th, n_vis, widened, inl1, |dt| of solve-vs-prediction correction,
+# rot-angle deg of that correction) — drives the host innovation gate
+N_DIAG = 6
+
+
+def unpack_track_out(out: TrackOut, n: int, m: int,
+                     buf: Optional[np.ndarray] = None) -> TrackResult:
     """One blocking pull of the packed buffer, then split on host.
 
     Returns the result with `desc` recovered from the bitcast tail —
-    the separate TrackOut.desc device array is never pulled."""
-    buf = np.asarray(out.f32_pack)
+    the separate TrackOut.desc device array is never pulled.  Pass a
+    pre-pulled `buf` to avoid a second host copy when the caller also
+    reads the diagnostic tail."""
+    if buf is None:
+        buf = np.asarray(out.f32_pack)
     Tcw = buf[:16].reshape(4, 4).astype(np.float32)
     n_mm = int(buf[16])
     n_in = int(buf[17])
@@ -543,7 +553,15 @@ def _build_track_step_chained(settings, sensor_stereo: bool):
         idx1, _, ok1 = mm_match(th_mm)
         n1 = jnp.sum(ok1)
         idx2, _, ok2 = mm_match(2.0 * th_mm)
-        use2 = n1 < 20
+        # Widen when matches are weak in ABSOLUTE terms (ref:
+        # Tracking.cc:842-847 does th -> 2*th below 20 matches) or
+        # RELATIVE to how many carried points project in-frustum: a
+        # blind pipelined frame whose prediction has drifted loses
+        # matches long before the absolute floor (699 -> 276 in the
+        # divergence trace), and the 2x window is the only mechanism
+        # that can still see the true correspondences at that point.
+        n_vis = jnp.sum(vis)
+        use2 = (2 * n1 < n_vis) | (n1 < 20)
         mm_idx = jnp.where(use2, idx2, idx1)
         mm_ok = jnp.where(use2, ok2, ok1)
         n_mm = jnp.sum(mm_ok)
@@ -647,6 +665,23 @@ def _build_track_step_chained(settings, sensor_stereo: bool):
             vis_l.astype(jnp.float32),                   # M
             jax.lax.bitcast_convert_type(
                 f_desc, jnp.float32).reshape(-1),        # 8N
+            # trailing diagnostics (always pulled, drive the host
+            # innovation gate + ORB_DEBUG_TRACK traces): th-window
+            # matches, carried points visible, widened-window used?,
+            # inliers after the first (motion-only) solve, |t| and
+            # rot-angle of the correction the solve applied to the
+            # prediction
+            jnp.stack([
+                n1.astype(jnp.float32),
+                n_vis.astype(jnp.float32),
+                use2.astype(jnp.float32),
+                jnp.sum(inl1 & obs1.mask).astype(jnp.float32),
+                jnp.linalg.norm(
+                    (T2 @ se3_geo.inverse(T_pred))[:3, 3]),
+                jnp.degrees(jnp.arccos(jnp.clip(
+                    (jnp.trace((T2 @ se3_geo.inverse(T_pred))[:3, :3])
+                     - 1.0) / 2.0, -1.0, 1.0))),
+            ]),                                          # N_DIAG
         ])
         # chain-poisoning guard: a weak pose solve (few inliers) must not
         # become the next frame's anchor — carry the motion-model
@@ -657,12 +692,25 @@ def _build_track_step_chained(settings, sensor_stereo: bool):
         # a confident solve or a host re-anchor.
         trust = n_in >= 30
         T_next = jnp.where(trust, T2, T_pred)
+        # Damped velocity update.  The raw update V = T2 inv(T_prev)
+        # folds the full solve innovation into the next prediction:
+        # with pose error e(t) the blind CV prediction error becomes
+        # 2e(t) - e(t-1), which DOUBLES every frame once window-biased
+        # matching can no longer pull the solve all the way back
+        # (measured: dt 0.015 -> 1.5 m over 6 blind frames).  Letting
+        # only half the innovation enter the velocity
+        # (V' = exp(0.5 log(V_meas inv(V))) V) keeps the loop stable
+        # while still tracking real accelerations with ~1-frame lag.
+        # The host re-anchors with its exact velocity every refresh,
+        # so the lag never accumulates.
+        v_meas = T2 @ se3_geo.inverse(chain.T_cur)
+        dv = se3_geo.log(v_meas @ se3_geo.inverse(velocity))
+        v_damped = se3_geo.exp(0.5 * dv) @ velocity
         new_chain = ChainState(
             xy=f_xy, ur=ur, octave=f_oct, angle=f_ang, desc=f_desc,
             pid=jnp.where(trust & inlier, feat_pid, -1),
             T_cur=T_next,
-            velocity=jnp.where(
-                trust, T2 @ se3_geo.inverse(chain.T_cur), velocity),
+            velocity=jnp.where(trust, v_damped, velocity),
         )
         return TrackOut(f32_pack, f_desc), new_chain
 

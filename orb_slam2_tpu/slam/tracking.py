@@ -13,6 +13,7 @@ map bookkeeping, which is exactly the split SURVEY.md §7 prescribes
 from __future__ import annotations
 
 import enum
+import os as _os
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -28,6 +29,11 @@ from orb_slam2_tpu.slam.map_store import FrameFeatures, MapStore
 from orb_slam2_tpu.solvers import initializer as mono_init
 from orb_slam2_tpu.solvers import pose_lm
 from orb_slam2_tpu.utils import StageTimers, StickyBuckets, bucket_size, pad_rows
+
+
+# per-frame tracking diagnostics (ORB_DEBUG_TRACK=1): match counts,
+# fallback triggers, chain re-anchors — for perf/robustness triage
+_DEBUG_TRACK = _os.environ.get("ORB_DEBUG_TRACK", "0") == "1"
 
 
 class State(enum.Enum):
@@ -273,6 +279,10 @@ class Tracker:
         )
         with self.timers("fast/pull"):
             res, desc_np = ts.unpack_track_out(out, n_feat, M)
+        # the fast path re-anchors from host state every frame — blind-
+        # extrapolation drift cannot exist; clear any stale pipelined flags
+        self._drift_soft = self._drift_reject = False
+        self._drift_salvaged = False
 
         # build the Frame from the step outputs (no second extraction)
         ff = FrameFeatures(
@@ -316,7 +326,22 @@ class Tracker:
     def _apply_fast_result(self, frame, last, res, cand, last_pids,
                            bindings):
         store = self.store
-        ok = res.n_matches_mm >= 20
+        # innovation gate (pipelined only — _fast_finish clears the
+        # flags): a device solve whose correction to the blind prediction
+        # exceeds the matching window cannot be trusted, because the
+        # window itself biased the matches; discard it and re-track
+        # through the modular reference-KF path below.
+        drift_reject = getattr(self, "_drift_reject", False)
+        ok = (res.n_matches_mm >= 20) and not drift_reject
+        if _DEBUG_TRACK and drift_reject:
+            print(f"[dbg] f{frame.frame_id} DRIFT-REJECT "
+                  f"innov={self._innov_px:.1f}px", flush=True)
+        if _DEBUG_TRACK:
+            nb = int((bindings >= 0).sum())
+            print(f"[dbg] f{frame.frame_id} mm={res.n_matches_mm} "
+                  f"dev_in={res.n_inliers} bound={nb} "
+                  f"cand={int((cand >= 0).sum())} "
+                  f"kfs={int(store.kf_valid.sum())}", flush=True)
         if ok:
             # visibility / found statistics (ref: SearchLocalPoints +
             # TrackLocalMap tail)
@@ -339,11 +364,41 @@ class Tracker:
         self._fallback_used = not ok
         if not ok:
             # fall back to the modular path (reference-KF tracking)
+            saved = (None if frame.Tcw is None else frame.Tcw.copy(),
+                     frame.bindings.copy(), frame.outlier.copy())
             self._assign_frame_bow(frame)
             ok = self._track_reference_keyframe()
             if ok:
                 ok = self._track_local_map()
+            if (not ok and drift_reject and saved[0] is not None
+                    and self._innov_px < 4.0 * self._th_mm_gate):
+                # the innovation gate fired but the modular re-track also
+                # failed: the device solve — which still carried matches —
+                # is the best pose available.  Accept it conservatively
+                # (forced chain re-anchor via _fallback_used, no keyframe
+                # via _drift_soft) rather than declaring LOST: a spurious
+                # reset throws the whole map away.  Only within ~4 match
+                # windows though — beyond that the matches behind the
+                # solve were found around a prediction too wrong to trust
+                # (repetitive texture aliases into a consistent-but-wrong
+                # pose; measured 124 'inliers' on a 1.5 m-wrong solve),
+                # and accepting would poison last_frame/velocity.  LOST →
+                # relocalization is the honest recovery there.
+                frame.Tcw, frame.bindings, frame.outlier = saved
+                inl_ids = frame.bindings[(frame.bindings >= 0)
+                                         & ~frame.outlier]
+                self.n_inliers = int(np.sum(store.pt_n_obs[inl_ids] >= 1))
+                self._drift_salvaged = True
+                ok = self.n_inliers >= 30
+                if _DEBUG_TRACK:
+                    print(f"[dbg] f{frame.frame_id} SALVAGE dev pose "
+                          f"n_map={self.n_inliers} -> "
+                          f"{'ok' if ok else 'FAIL'}", flush=True)
 
+        if _DEBUG_TRACK and self._fallback_used:
+            print(f"[dbg] f{frame.frame_id} FALLBACK -> "
+                  f"{'ok' if ok else 'FAIL'} inl={self.n_inliers}",
+                  flush=True)
         if ok:
             self.state = State.OK
             self.velocity = frame.Tcw @ np.linalg.inv(last.Tcw)
@@ -360,7 +415,15 @@ class Tracker:
                 for pid in self.temporal_points:
                     store.set_point_bad(pid)
                 self.temporal_points.clear()
-            if self._need_new_keyframe():
+            # a SALVAGED frame (gate fired AND the modular re-track
+            # failed) carries a pose good enough to keep but not good
+            # enough to freeze into the map as a keyframe.  Soft drift
+            # alone must NOT suppress keyframes: weak tracking raises
+            # innovation, and blocking the keyframe the ref policy wants
+            # starves the local map — measured as a death spiral
+            # (matches 532 -> 103 over 7 suppressed frames).
+            if (self._need_new_keyframe()
+                    and not getattr(self, "_drift_salvaged", False)):
                 with self.timers("create_keyframe"):
                     self._assign_frame_bow(frame)
                     self._create_new_keyframe()
@@ -484,10 +547,12 @@ class Tracker:
             # KF/BA ran: serialize until tracking re-anchors to the
             # updated map (in-flight dispatches cannot see its points)
             self._chain_dirty = 2
-        elif self.n_inliers < 60 or getattr(self, "_fallback_used", False):
-            # weak tracking, or the host DISCARDED the device pose via
-            # the modular fallback: the chain in flight extends a pose
-            # the host rejected — force a re-anchor before it can
+        elif (self.n_inliers < 60 or getattr(self, "_fallback_used", False)
+              or getattr(self, "_drift_soft", False)):
+            # weak tracking, the host DISCARDED the device pose via the
+            # modular fallback, or the innovation gate flagged blind-
+            # extrapolation drift: the chain in flight extends a pose
+            # the host does not trust — force a re-anchor before it can
             # corrupt the map
             self._chain_dirty = 2
         return pose
@@ -526,6 +591,12 @@ class Tracker:
             self._chain_age = 0
             self._chain_dirty = max(
                 getattr(self, "_chain_dirty", 0) - 1, 0)
+            if _DEBUG_TRACK:
+                nc = int(np.sum(self._chain.pid >= 0))
+                print(f"[dbg] ANCHOR at last_frame="
+                      f"{self.last_frame.frame_id} carried={nc} "
+                      f"local={len(self.local_pts)} "
+                      f"dirty={self._chain_dirty}", flush=True)
 
         with store.lock:
             # candidate pid list only — the step gathers the data from
@@ -593,7 +664,58 @@ class Tracker:
         n_feat = padded_total(
             self.s.n_features, self.s.n_levels, self.s.scale_factor)
         with self.timers("pipe/unpack"):
-            res, desc_np = ts.unpack_track_out(out, n_feat, meta["M"])
+            buf = np.asarray(out.f32_pack)
+            res, desc_np = ts.unpack_track_out(
+                out, n_feat, meta["M"], buf=buf)
+        diag = buf[-ts.N_DIAG:]
+
+        # ---- innovation gate -------------------------------------------
+        # The chain step reports the correction its solve applied to the
+        # constant-velocity prediction.  Expressed in PIXELS at the scene
+        # median depth it is directly comparable to the matching window
+        # th_mm: corrections beyond ~half the window mean the blind
+        # extrapolation is drifting (window-biased matching can no longer
+        # be assumed unbiased), so re-anchor the chain from host state
+        # and don't let this frame spawn a keyframe; corrections beyond
+        # the window itself mean even the solve is suspect — reject the
+        # device pose and re-track through the modular fallback.
+        dt_m, drot_deg = float(diag[4]), float(diag[5])
+        zd = res.depth[res.valid & (res.depth > 0)]
+        if len(zd) >= 30:
+            zmed = float(np.median(zd))
+            self._anchor_zmed = zmed
+        else:
+            zmed = getattr(self, "_anchor_zmed", 0.0)
+        th_mm = 7.0 if self.sensor == Sensor.STEREO else 15.0
+        innov_px = 0.0
+        if zmed > 0:
+            innov_px = self.s.fx * (dt_m / zmed + np.radians(drot_deg))
+        self._innov_px = innov_px
+        # Thresholds are deliberately loose: a healthy solve correcting a
+        # lagging constant-velocity prediction (the damped velocity model
+        # tracks accelerations with ~1-frame lag BY DESIGN) shows 5-15 px
+        # of innovation with hundreds of inliers — measured on the bench
+        # circuit right after keyframe re-anchors.  True blind-window
+        # divergence looks different: innovation grows past several
+        # windows while first-solve support collapses (699 -> 276 matches
+        # in the divergence trace).  So: soft re-anchor beyond 1.5
+        # windows; reject only when the innovation is far outside the
+        # window AND the solve lost most of its support (or is so large
+        # no in-window match set could have produced it honestly).
+        inl1, n_vis = float(diag[3]), float(diag[1])
+        weak = inl1 < max(30.0, 0.25 * n_vis)
+        self._th_mm_gate = th_mm
+        self._drift_soft = innov_px > 1.5 * th_mm
+        self._drift_reject = ((innov_px > 3.0 * th_mm and weak)
+                              or innov_px > 8.0 * th_mm)
+        self._drift_salvaged = False
+
+        if _DEBUG_TRACK:
+            d = diag
+            print(f"[dbg]   chain-diag n_th={int(d[0])} vis={int(d[1])} "
+                  f"wide={int(d[2])} inl1={int(d[3])} dt={d[4]:.3f}m "
+                  f"drot={d[5]:.2f}deg innov={innov_px:.1f}px",
+                  flush=True)
         last = self.last_frame
         cand = meta["cand"]
 
@@ -1097,6 +1219,9 @@ class Tracker:
         )
         idx, _, ok = matching.to_host(m)
         ok = ok & kf_has
+        if _DEBUG_TRACK:
+            print(f"[dbg]   track_ref_kf kf={kf} bow_matches="
+                  f"{int(ok.sum())}", flush=True)
         if int(ok.sum()) < 15:
             return False
         frame.bindings[:] = -1
@@ -1107,6 +1232,8 @@ class Tracker:
         )
         self._optimize_pose(frame)
         n_map = self._discard_outliers(frame)
+        if _DEBUG_TRACK:
+            print(f"[dbg]   track_ref_kf n_map={n_map}", flush=True)
         return n_map >= 10
 
     def _update_last_frame(self):
@@ -1336,6 +1463,11 @@ class Tracker:
                and (self.n_inliers < ref_matches * 0.25 or need_close))
         c2 = ((self.n_inliers < ref_matches * th_ref or need_close)
               and self.n_inliers > 15)
+        if _DEBUG_TRACK and (c1a or c1b or c1c) and not c2:
+            print(f"[dbg]   need_kf DENIED c2: inl={self.n_inliers} "
+                  f"ref_matches={ref_matches} th={th_ref} "
+                  f"close={n_tracked_close}/{n_nontracked_close}",
+                  flush=True)
         if (c1a or c1b or c1c) and c2:
             if idle:
                 return True
@@ -1400,6 +1532,8 @@ class Tracker:
                 store.compute_distinctive_batch(born)
                 store.update_points_batch(born, self.scale_factors)
         self.last_kf_frame_id = frame.frame_id
+        if _DEBUG_TRACK:
+            print(f"[dbg] f{frame.frame_id} KF kf={kf}", flush=True)
         if self.local_mapper is not None:
             self.local_mapper.insert_keyframe(kf)
 

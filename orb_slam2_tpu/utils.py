@@ -50,11 +50,17 @@ def ensure_live_backend(timeout_s: float = 300.0) -> str:
     hard timeout and, on failure, applies the in-process config update
     that actually wins over sitecustomize.  Returns the platform name
     the current process will use.  Call before any jax dispatch."""
+    import os
     import subprocess
     import sys
 
     import jax
 
+    if os.environ.get("ORB_FORCE_CPU", "0") == "1":
+        # explicit CPU pin (e.g. verify scripts running beside a TPU
+        # bench — two processes sharing the tunnel serialize each other)
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],

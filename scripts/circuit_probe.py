@@ -11,7 +11,13 @@ sys.path.insert(0, os.path.join(
 
 from orb_slam2_tpu.utils import ensure_live_backend, setup_compile_cache
 
-platform = ensure_live_backend()
+if os.environ.get("CP_CPU", "0") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    platform = "cpu"
+else:
+    platform = ensure_live_backend()
 setup_compile_cache(platform)
 print("platform:", platform)
 
@@ -31,19 +37,29 @@ settings = Settings(
     fx=FX, fy=FY, cx=607.19, cy=185.22, bf=BF, width=W, height=H,
     n_features=2000, fps=10.0, th_depth=35.0,
 )
-settings.pipelined = True
+settings.pipelined = os.environ.get("CP_PIPE", "1") == "1"
 
 n_frames = int(os.environ.get("CP_FRAMES", "60"))
 orbits = float(os.environ.get("CP_ORBITS", "1.25"))
 orbit_r = float(os.environ.get("CP_R", "3.0"))
 cyl_r = float(os.environ.get("CP_CYL", "8.0"))
-scene = CylinderScene(settings.K, H, W, radius=cyl_r)
+tex_h = int(os.environ.get("CP_TEXH", "2048"))
+scene = CylinderScene(settings.K, H, W, radius=cyl_r, tex_h=tex_h)
 poses = circle_trajectory(n_frames, orbit_r=orbit_r,
                           total_angle=2 * np.pi * orbits)
 Trl = np.eye(4, dtype=np.float32)
 Trl[0, 3] = -BF / FX
-print("rendering...")
-pairs = [(scene.render(T), scene.render(Trl @ T)) for T in poses]
+_cache = (f"/tmp/cp_frames_{n_frames}_{orbits}_{orbit_r}_{cyl_r}"
+          f"_{H}x{W}_t{tex_h}.npz")
+if os.path.exists(_cache):
+    print("loading cached frames...")
+    _z = np.load(_cache)
+    pairs = list(zip(_z["left"], _z["right"]))
+else:
+    print("rendering...")
+    pairs = [(scene.render(T), scene.render(Trl @ T)) for T in poses]
+    np.savez(_cache, left=np.stack([p[0] for p in pairs]),
+             right=np.stack([p[1] for p in pairs]))
 
 voc = None
 if os.environ.get("CP_VOC", "1") == "1":
@@ -57,10 +73,19 @@ if os.environ.get("CP_VOC", "1") == "1":
 
 
 def run(report=False):
-    s = System(settings, Sensor.STEREO, vocabulary=voc, scheduler="async")
+    s = System(settings, Sensor.STEREO, vocabulary=voc,
+               scheduler=os.environ.get("CP_SCHED", "async"))
     tr = s.tracker
     times = []
+    pace = os.environ.get("CP_PACE", "0") == "1"
+    period = 1.0 / settings.fps
+    t_next = time.perf_counter()
     for i, (l, r) in enumerate(pairs):
+        if pace:
+            now = time.perf_counter()
+            if now < t_next:
+                time.sleep(t_next - now)
+            t_next = max(t_next + period, time.perf_counter())
         fast = tr._can_fast()
         t0 = time.perf_counter()
         s.track_stereo(l, r, i * 0.1)
@@ -78,6 +103,8 @@ def run(report=False):
               f"{st[int(len(st)*0.9)]*1e3:.1f}ms")
         print("loops:", s.loop_closer.loops_closed if s.loop_closer else 0)
         print(tr.timers.report())
+        print("--- mapper ---")
+        print(s.local_mapper.timers.report())
     s.shutdown()
 
 

@@ -15,8 +15,12 @@ def make_texture(h: int, w: int, seed: int = 7) -> np.ndarray:
     """High-contrast blob texture with corners at many scales."""
     rng = np.random.default_rng(seed)
     img = np.zeros((h, w), np.float32)
-    # multi-scale random rectangles give FAST corners at all octaves
+    # multi-scale random rectangles give FAST corners at all octaves;
+    # counts were tuned for h=512 and scale with extra height so feature
+    # density stays constant (h=512 keeps the exact historical rng
+    # sequence — golden trajectories depend on it)
     for size, count in ((64, 40), (32, 120), (16, 300), (8, 600)):
+        count = int(round(count * h / 512))
         for _ in range(count):
             y = rng.integers(0, h - size)
             x = rng.integers(0, w - size)
@@ -174,15 +178,22 @@ class CylinderScene:
     """
 
     def __init__(self, K: np.ndarray, h: int, w: int, radius: float = 6.0,
-                 px_per_m: float = 120.0, seed: int = 11):
+                 px_per_m: float = 120.0, seed: int = 11,
+                 tex_h: int = 512):
         self.K = np.asarray(K, np.float64)
         self.h, self.w = h, w
         self.R = radius
         self.px_per_m = px_per_m
         circumference = 2 * np.pi * radius
         tw = int(round(circumference * px_per_m))
-        th = 512
-        self.tex = make_texture(th, tw, seed)
+        # tex_h sets the VERTICAL texture period (tex_h / px_per_m
+        # meters).  The 512 default repeats every 4.27 m — at far-wall
+        # depths the camera's vertical FOV spans more than one period,
+        # so identical texture appears at two image heights (descriptor
+        # aliasing: consistent-but-wrong matches, BoW place confusion).
+        # Pass tex_h large enough that the visible span never wraps
+        # (e.g. 2048 for the KITTI-geometry bench).
+        self.tex = make_texture(tex_h, tw, seed)
 
     def _trace(self, Tcw: np.ndarray):
         """Per-pixel ray-cylinder hit: returns (theta, y, depth)."""
