@@ -66,15 +66,17 @@ def main():
     # tests/test_pipeline.py::TestPipelinedMode)
     settings.pipelined = True
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "200"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
     # tex_h=2048: vertical texture period 17 m > the visible span at
     # far-wall depth, so no repeated-texture descriptor aliasing (the
     # 512 default repeats every 4.27 m — real scenes don't tile)
     scene = CylinderScene(settings.K, H, W, radius=8.0, tex_h=2048)
-    # 1.25 orbits over 200 frames = 2.25 deg/frame yaw (KITTI-00 turns
-    # peak ~3 deg/frame at 10 fps; sustained straights are gentler)
+    # 1.35 orbits over 240 frames = 2.03 deg/frame yaw (KITTI-00 turns
+    # peak ~3 deg/frame at 10 fps); the revisit starts at frame ~178,
+    # leaving ~60 frames (≈5 keyframes) past it — enough for the loop
+    # detector's 3-consecutive covisibility-consistency vote to confirm
     poses = circle_trajectory(n_frames, orbit_r=3.0,
-                              total_angle=2 * np.pi * 1.25)
+                              total_angle=2 * np.pi * 1.35)
     baseline_m = BF / FX
     Trl = np.eye(4, dtype=np.float32)
     Trl[0, 3] = -baseline_m

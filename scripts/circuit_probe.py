@@ -21,6 +21,13 @@ else:
 setup_compile_cache(platform)
 print("platform:", platform)
 
+if os.environ.get("CP_LOOPDBG", "0") == "1":
+    import logging
+
+    from orb_slam2_tpu import logs
+
+    logs.set_verbose(logging.DEBUG)
+
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
