@@ -71,12 +71,12 @@ def main():
     # far-wall depth, so no repeated-texture descriptor aliasing (the
     # 512 default repeats every 4.27 m — real scenes don't tile)
     scene = CylinderScene(settings.K, H, W, radius=8.0, tex_h=2048)
-    # 1.35 orbits over 240 frames = 2.03 deg/frame yaw (KITTI-00 turns
-    # peak ~3 deg/frame at 10 fps); the revisit starts at frame ~178,
-    # leaving ~60 frames (≈5 keyframes) past it — enough for the loop
-    # detector's 3-consecutive covisibility-consistency vote to confirm
+    # 1.5 orbits over 240 frames = 2.25 deg/frame yaw (KITTI-00 turns
+    # peak ~3 deg/frame at 10 fps); the revisit starts at frame ~160,
+    # leaving ~80 frames (≈7 keyframes) past it — comfortably enough for
+    # the loop detector's 3-consecutive covisibility-consistency vote
     poses = circle_trajectory(n_frames, orbit_r=3.0,
-                              total_angle=2 * np.pi * 1.35)
+                              total_angle=2 * np.pi * 1.5)
     baseline_m = BF / FX
     Trl = np.eye(4, dtype=np.float32)
     Trl[0, 3] = -baseline_m
@@ -120,6 +120,17 @@ def main():
             if i + 1 < len(pairs):
                 s.prefetch(*pairs[i + 1])
             max_queue = max(max_queue, len(s.local_mapper.queue))
+        # bounded post-run drain (untimed): let mapping/loop-closing
+        # finish the keyframes queued near the end of the sequence so a
+        # loop detected on the final keyframes is counted — the
+        # reference's threads likewise finish their queues while the
+        # driver computes statistics (stereo_kitti.cc:124-141)
+        t_drain = time.perf_counter()
+        while time.perf_counter() - t_drain < 20.0:
+            if s.local_mapper.idle() and (
+                    s.loop_closer is None or s.loop_closer.idle()):
+                break
+            time.sleep(0.02)
         ok = (s.tracker.state.name == "OK"
               and int(s.map.kf_valid.sum()) >= 3
               and s.tracker.resets == 0)

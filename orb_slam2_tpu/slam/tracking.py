@@ -36,6 +36,36 @@ from orb_slam2_tpu.utils import StageTimers, StickyBuckets, bucket_size, pad_row
 _DEBUG_TRACK = _os.environ.get("ORB_DEBUG_TRACK", "0") == "1"
 
 
+def innovation_px(fx: float, dt_m: float, drot_deg: float,
+                  zmed_m: float) -> float:
+    """Solve-vs-prediction correction expressed in image pixels.
+
+    A translation error dt at the scene median depth moves features by
+    ~fx*dt/z; a rotation error moves them by ~fx*angle (small-angle).
+    The sum is directly comparable to the matching window th_mm."""
+    if zmed_m <= 0:
+        return 0.0
+    return float(fx) * (dt_m / zmed_m + float(np.radians(drot_deg)))
+
+
+def drift_gate(innov_px_: float, th_mm: float, inl1: float,
+               n_vis: float):
+    """Pipelined blind-extrapolation drift gate -> (soft, reject).
+
+    soft   — correction beyond 1.5 matching windows: the prediction is
+             drifting; re-anchor the chain from host state.  Healthy
+             solves right after keyframe re-anchors show 5-15 px with
+             hundreds of inliers (measured), so the threshold is loose.
+    reject — the device pose itself is untrustworthy: far outside the
+             window AND first-solve support collapsed (true divergence
+             measured 699 -> 276 matches), or so large that no in-window
+             match set could honestly have produced it."""
+    weak = inl1 < max(30.0, 0.25 * n_vis)
+    soft = innov_px_ > 1.5 * th_mm
+    reject = (innov_px_ > 3.0 * th_mm and weak) or innov_px_ > 8.0 * th_mm
+    return soft, reject
+
+
 class State(enum.Enum):
     """ref: include/Tracking.h:82-88 eTrackingState."""
 
@@ -580,8 +610,16 @@ class Tracker:
                     return pose_pre
             # drain mapping BEFORE re-anchoring so the fresh chain and
             # candidate list see the newest triangulations/BA (exact
-            # fast-path parity on refresh frames)
-            if self.local_mapper is not None:
+            # fast-path parity on refresh frames).  ONLY when mapping is
+            # inline (sync scheduler): with a dedicated mapping thread,
+            # spin(block=False) can still win the race against the
+            # worker waking up and then runs the WHOLE ~0.5-1 s keyframe
+            # pass on the tracking thread — measured as the 600-900 ms
+            # worst frames.  The reference's tracking thread never does
+            # LocalMapping work (src/System.cc:85-104).
+            if (self.local_mapper is not None
+                    and not getattr(self.local_mapper, "async_worker",
+                                    False)):
                 with self.timers("pipe/mapper_spin"):
                     self.local_mapper.spin(block=False)
             with store.lock, self.timers("pipe/anchor"):
@@ -687,27 +725,12 @@ class Tracker:
         else:
             zmed = getattr(self, "_anchor_zmed", 0.0)
         th_mm = 7.0 if self.sensor == Sensor.STEREO else 15.0
-        innov_px = 0.0
-        if zmed > 0:
-            innov_px = self.s.fx * (dt_m / zmed + np.radians(drot_deg))
+        innov_px = innovation_px(self.s.fx, dt_m, drot_deg, zmed)
         self._innov_px = innov_px
-        # Thresholds are deliberately loose: a healthy solve correcting a
-        # lagging constant-velocity prediction (the damped velocity model
-        # tracks accelerations with ~1-frame lag BY DESIGN) shows 5-15 px
-        # of innovation with hundreds of inliers — measured on the bench
-        # circuit right after keyframe re-anchors.  True blind-window
-        # divergence looks different: innovation grows past several
-        # windows while first-solve support collapses (699 -> 276 matches
-        # in the divergence trace).  So: soft re-anchor beyond 1.5
-        # windows; reject only when the innovation is far outside the
-        # window AND the solve lost most of its support (or is so large
-        # no in-window match set could have produced it honestly).
         inl1, n_vis = float(diag[3]), float(diag[1])
-        weak = inl1 < max(30.0, 0.25 * n_vis)
         self._th_mm_gate = th_mm
-        self._drift_soft = innov_px > 1.5 * th_mm
-        self._drift_reject = ((innov_px > 3.0 * th_mm and weak)
-                              or innov_px > 8.0 * th_mm)
+        self._drift_soft, self._drift_reject = drift_gate(
+            innov_px, th_mm, inl1, n_vis)
         self._drift_salvaged = False
 
         if _DEBUG_TRACK:

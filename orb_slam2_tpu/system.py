@@ -95,6 +95,8 @@ class System:
             # reference thread topology (src/System.cc:85-104): tracking
             # on the caller's thread, LocalMapping and LoopClosing each
             # on their own, GBA spawned by LoopClosing (background_gba)
+            # (flag lives on the mapper so it survives Tracker.reset)
+            self.local_mapper.async_worker = True
             self._workers.append(threading.Thread(
                 target=self._mapping_loop, daemon=True))
             if self.loop_closer is not None:

@@ -551,3 +551,52 @@ class TestMapStore:
         assert m.covis[k0][k1] == 6
         assert m.kf_parent[k1] == k0
         assert k1 in m.kf_children[k0]
+
+
+class TestDriftGate:
+    """Pin the pipelined innovation gate's thresholds to the measured
+    scenarios that shaped them (see tracking.drift_gate docstring)."""
+
+    TH = 7.0  # stereo matching window
+
+    def test_healthy_post_anchor_jitter_passes(self):
+        # measured: 5-15 px innovation with hundreds of inliers right
+        # after keyframe re-anchors — must NOT reject (the round-3
+        # misfire cost three spurious map resets)
+        from orb_slam2_tpu.slam.tracking import drift_gate
+        soft, reject = drift_gate(12.7, self.TH, inl1=400.0, n_vis=498.0)
+        assert soft and not reject
+
+    def test_small_innovation_is_clean(self):
+        from orb_slam2_tpu.slam.tracking import drift_gate
+        soft, reject = drift_gate(2.5, self.TH, inl1=800.0, n_vis=900.0)
+        assert not soft and not reject
+
+    def test_true_divergence_rejects(self):
+        # measured divergence trace: innovation grows past several
+        # windows while first-solve support collapses
+        from orb_slam2_tpu.slam.tracking import drift_gate
+        soft, reject = drift_gate(46.9, self.TH, inl1=40.0, n_vis=240.0)
+        assert soft and reject
+
+    def test_huge_innovation_rejects_even_with_support(self):
+        # repetitive texture aliases into consistent-but-wrong solves:
+        # 124 'inliers' on a 1.5 m-wrong pose — the hard cap catches it
+        from orb_slam2_tpu.slam.tracking import drift_gate
+        soft, reject = drift_gate(155.7, self.TH, inl1=96.0, n_vis=133.0)
+        assert soft and reject
+
+    def test_moderate_innovation_with_support_passes(self):
+        # the damped velocity model lags real accelerations by design;
+        # a supported solve 3-8 windows out re-anchors but is kept
+        from orb_slam2_tpu.slam.tracking import drift_gate
+        soft, reject = drift_gate(35.0, self.TH, inl1=300.0, n_vis=500.0)
+        assert soft and not reject
+
+    def test_innovation_px_formula(self):
+        from orb_slam2_tpu.slam.tracking import innovation_px
+        import numpy as np
+        # 0.043 m at 6 m depth + 0.5 deg, fx=718: ~11.4 px
+        v = innovation_px(718.0, 0.043, 0.5, 6.0)
+        assert abs(v - (718.0 * (0.043 / 6.0 + np.radians(0.5)))) < 1e-6
+        assert innovation_px(718.0, 1.0, 1.0, 0.0) == 0.0
