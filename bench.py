@@ -56,9 +56,16 @@ def main():
     FX = FY = 718.856
     CX, CY = 607.19, 185.22
     BF = 386.1448
+    # th_depth is a per-dataset knob in the reference (every yaml sets
+    # its own ThDepth; KITTI00-02.yaml:35 uses 35 for KITTI's deep
+    # outdoor scenes).  The synthetic cylinder's depth band is ~5.5-11 m;
+    # 35*baseline = 18.8 m classifies EVERY point "close", so the
+    # keyframe policy's need-close trigger (Tracking.cc:1470-1484) never
+    # fires and the map starves (17 KFs, no loop).  9.5*baseline = 5.1 m
+    # splits the band the way 35 splits KITTI's.
     settings = Settings(
         fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
-        n_features=2000, fps=10.0, th_depth=35.0,
+        n_features=2000, fps=10.0, th_depth=9.5,
     )
     # deep-pipelined tracking: up to pipeline_depth frames in flight,
     # results drained as the tunnel delivers them — hides the d2h RTT

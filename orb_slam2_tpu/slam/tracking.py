@@ -59,10 +59,22 @@ def drift_gate(innov_px_: float, th_mm: float, inl1: float,
     reject — the device pose itself is untrustworthy: far outside the
              window AND first-solve support collapsed (true divergence
              measured 699 -> 276 matches), or so large that no in-window
-             match set could honestly have produced it."""
+             match set could honestly have produced it.
+
+    STRONG solves are never rejected: a solve supported by >=100 inliers
+    covering >=50% of the visible candidates is a legitimate drift
+    CORRECTION, not divergence — measured on the paced bench circuit,
+    the first solve after a keyframe's points enter the chain corrects
+    ~90 px of accumulated blind-extrapolation drift with 145/203
+    support; rejecting it (as the old unconditional 8-window cap did)
+    turned a recovery into LOST.  Texture-aliased wrong-but-consistent
+    solves stay out: the measured aliasing trace peaked at 96 'inliers'
+    (below the 100 floor) on a 1.5 m-wrong pose."""
     weak = inl1 < max(30.0, 0.25 * n_vis)
+    strong = inl1 >= max(100.0, 0.5 * n_vis)
     soft = innov_px_ > 1.5 * th_mm
-    reject = (innov_px_ > 3.0 * th_mm and weak) or innov_px_ > 8.0 * th_mm
+    reject = (innov_px_ > 3.0 * th_mm and weak) or (
+        innov_px_ > 8.0 * th_mm and not strong)
     return soft, reject
 
 

@@ -42,7 +42,8 @@ FX = FY = 718.856
 BF = 386.1448
 settings = Settings(
     fx=FX, fy=FY, cx=607.19, cy=185.22, bf=BF, width=W, height=H,
-    n_features=2000, fps=10.0, th_depth=35.0,
+    n_features=2000, fps=10.0,
+    th_depth=float(os.environ.get("CP_THDEPTH", "35.0")),
 )
 settings.pipelined = os.environ.get("CP_PIPE", "1") == "1"
 

@@ -586,6 +586,16 @@ class TestDriftGate:
         soft, reject = drift_gate(155.7, self.TH, inl1=96.0, n_vis=133.0)
         assert soft and reject
 
+    def test_strong_drift_correction_passes(self):
+        # measured (paced bench circuit): the first solve after a new
+        # keyframe's points enter the chain corrects ~90 px of blind-
+        # extrapolation drift with 145/203 support — a recovery, not a
+        # divergence; must NOT reject (rejecting it caused LOST + 22
+        # failed relocalizations)
+        from orb_slam2_tpu.slam.tracking import drift_gate
+        soft, reject = drift_gate(90.1, self.TH, inl1=145.0, n_vis=203.0)
+        assert soft and not reject
+
     def test_moderate_innovation_with_support_passes(self):
         # the damped velocity model lags real accelerations by design;
         # a supported solve 3-8 windows out re-anchors but is kept
