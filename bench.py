@@ -147,25 +147,36 @@ def main():
                                 if s.loop_closer else 0),
             "max_queue": max_queue,
             "n_resets": s.tracker.resets,
+            "relocalizations": s.tracker.relocalizations,
         }
         # mean mapping time per processed keyframe (keep-up: must stay
-        # under the keyframe interval for mapping to not fall behind)
+        # under the keyframe interval for mapping to not fall behind).
+        # lm/ba_{gather,device,writeback} are NESTED inside lm/local_ba
+        # (local_mapping.py:190,649-671) — summing them too would double-
+        # count the BA stage.
         lm = s.local_mapper.timers
         n_kf_proc = max(lm.counts.get("lm/process_new_kf", 1), 1)
         stats["mapper_ms_per_kf"] = round(
-            sum(lm.totals.values()) / n_kf_proc * 1e3, 1)
+            sum(v for k, v in lm.totals.items()
+                if not k.startswith("lm/ba_")) / n_kf_proc * 1e3, 1)
         if scheduler == "async":
             s.shutdown()
         return times, stats, ok
 
-    # warmup pass: drives every shape bucket through compilation (the
+    # warmup passes: drive every shape bucket through compilation (the
     # axon tunnel does not serve the persistent compile cache, so cold
     # XLA compiles otherwise land inside the timed region).  Warm under
     # the SAME scheduler as the timed pass — async-mode thread timing
     # reaches different shape buckets than sync (round-3 profiling
     # caught 26-35s compiles inside the timed window when warmup ran
-    # sync-only).
+    # sync-only).  TWO passes: multi-second cold compiles stall the
+    # paced pipeline enough to change the run's whole keyframe/loop
+    # layout (measured: the cold pass goes LOST in the revisit window
+    # and never reaches the buckets the healthy pass needs — an 11.6 s
+    # compile then landed inside the timed window); pass 2 runs nearly
+    # warm, follows the healthy trajectory, and fills in the rest.
     sched = "async"
+    run_once(sched)
     run_once(sched)
 
     # timed pass (in-process jit caches stay hot) under the REFERENCE's

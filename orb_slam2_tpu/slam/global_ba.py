@@ -252,6 +252,7 @@ class GlobalBA:
                 all_touched = pids[live]
             store.update_points_batch(
                 all_touched, self.mapper.scale_factors)
+            store.geo_epoch += 1
             store.mark_dirty(all_touched)
             store.big_change_idx += 1
         return True

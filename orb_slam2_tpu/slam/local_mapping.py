@@ -676,6 +676,7 @@ class LocalMapper:
                 live = store.pt_valid[pids]
                 store.pt_pos[pids[live]] = pts[:len(pids)][live]
                 store.update_points_batch(pids, self.scale_factors)
+                store.geo_epoch += 1
                 store.mark_dirty(pids)
 
     def global_bundle_adjustment(self, iters: int = 20,

@@ -473,6 +473,7 @@ class LoopCloser:
             p_new = (s_m[g, None]
                      * np.einsum("pij,pj->pi", R_m[g], p) + t_m[g])
             store.pt_pos[pids_u] = p_new.astype(np.float32)
+            store.geo_epoch += 1
             store.mark_dirty(pids_u)
         for ki in window:
             # corrected pose: SE3 with scale divided out (ref :500-507)
@@ -746,6 +747,7 @@ class LoopCloser:
             Rn, tn, sn = R_o[i_pt], t_o[i_pt], s_o[i_pt]
             store.pt_pos[pids_ok] = (np.einsum(
                 "pji,pj->pi", Rn, p1 - tn) / sn[:, None]).astype(np.float32)
+            store.geo_epoch += 1
             store.mark_dirty(pids_ok)
         for k, i in index.items():
             Tn = np.eye(4, dtype=np.float32)

@@ -148,6 +148,13 @@ class MapStore:
         # bumped on every replace_point; lets the tracker skip the
         # per-feature replacement sweep when nothing changed
         self.replace_epoch = 0
+        # bumped ONLY when EXISTING geometry moves (local-BA writeback,
+        # GBA apply, loop correction, point replacement) — NOT on point
+        # births.  The pipelined tracker snapshots this at dispatch: a
+        # frame solved against points that moved while it was in flight
+        # legitimately shows a large solve-vs-prediction innovation, and
+        # the drift gate must not read that as divergence.
+        self.geo_epoch = 0
 
         # coarse map lock for the async scheduler (the reference's
         # Map::mMutexMapUpdate, include/Map.h:73); a no-op under the
@@ -431,6 +438,7 @@ class MapStore:
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_found[new] += self.pt_found[old]
         self.compute_distinctive_descriptor(new)
+        self.geo_epoch += 1
         self.mark_dirty(old)
         self.mark_dirty(new)
 

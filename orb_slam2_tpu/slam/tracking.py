@@ -49,7 +49,8 @@ def innovation_px(fx: float, dt_m: float, drot_deg: float,
 
 
 def drift_gate(innov_px_: float, th_mm: float, inl1: float,
-               n_vis: float):
+               n_vis: float, drot_deg: float = 0.0,
+               map_moved: bool = False):
     """Pipelined blind-extrapolation drift gate -> (soft, reject).
 
     soft   — correction beyond 1.5 matching windows: the prediction is
@@ -61,20 +62,48 @@ def drift_gate(innov_px_: float, th_mm: float, inl1: float,
              measured 699 -> 276 matches), or so large that no in-window
              match set could honestly have produced it.
 
-    STRONG solves are never rejected: a solve supported by >=100 inliers
-    covering >=50% of the visible candidates is a legitimate drift
-    CORRECTION, not divergence — measured on the paced bench circuit,
-    the first solve after a keyframe's points enter the chain corrects
-    ~90 px of accumulated blind-extrapolation drift with 145/203
-    support; rejecting it (as the old unconditional 8-window cap did)
-    turned a recovery into LOST.  Texture-aliased wrong-but-consistent
-    solves stay out: the measured aliasing trace peaked at 96 'inliers'
-    (below the 100 floor) on a 1.5 m-wrong pose."""
+    STRONG solves (>=100 inliers covering >=50% of the visible
+    candidates) are trusted past the 8-window cap: a solve with that
+    support is usually a legitimate drift CORRECTION, not divergence —
+    measured on the paced bench circuit, the first solve after a
+    keyframe's points enter the chain corrects ~90 px of accumulated
+    blind-extrapolation drift with 145/203 support; rejecting it (as the
+    old unconditional 8-window cap did) turned a recovery into LOST.
+    Texture-aliased wrong-but-consistent solves stay out: the measured
+    aliasing trace peaked at 96 'inliers' (below the 100 floor) on a
+    1.5 m-wrong pose.
+
+    ... but only within a PHYSICALLY PLAUSIBLE correction.  The chain
+    extrapolates blind for at most chain_max_age (4) frames, so a
+    genuine drift correction is bounded by a few frames of velocity-
+    model lag; a correction beyond 20 matching windows or 15 degrees of
+    rotation cannot be honest window-biased matching on any real camera
+    motion.  Measured incident: an aliased solve jumped 2.2 m / 24 deg
+    (innov 631 px) with 112/175 'support' on a collapsed visible set —
+    the support test passed it, it became a wrong-pose keyframe, and
+    tracking nearly diverged.  The good 90-px correction above stays
+    comfortably inside both caps.
+
+    map_moved — the map's EXISTING geometry moved while this frame was
+    in flight (store.geo_epoch changed between dispatch and pull: local
+    BA writeback, fusion replacement, loop correction, GBA apply).  The
+    solve then tracked the MOVED points, so a large innovation vs the
+    dispatch-time prediction is expected, and collapsed narrow-window
+    support likewise (a 0.4 m fusion snap ~ 36 px at 8 m — beyond even
+    the widened window for fine octaves).  Measured incident (revisit,
+    probe f180): local BA+fusion pulled the drifted section 0.4 m
+    toward the old map; the solve followed with 132/737 support, the
+    plain gate read it as divergence, re-track failed, tracking went
+    LOST and the loop never closed.  With map_moved, trust any solve
+    holding >=50 inliers within the plausibility caps."""
     weak = inl1 < max(30.0, 0.25 * n_vis)
     strong = inl1 >= max(100.0, 0.5 * n_vis)
     soft = innov_px_ > 1.5 * th_mm
+    implausible = innov_px_ > 20.0 * th_mm or drot_deg > 15.0
     reject = (innov_px_ > 3.0 * th_mm and weak) or (
-        innov_px_ > 8.0 * th_mm and not strong)
+        innov_px_ > 8.0 * th_mm and not strong) or implausible
+    if map_moved and reject and not implausible and inl1 >= 50.0:
+        reject = False   # loosen only: the solve followed the moved map
     return soft, reject
 
 
@@ -441,6 +470,13 @@ class Tracker:
             print(f"[dbg] f{frame.frame_id} FALLBACK -> "
                   f"{'ok' if ok else 'FAIL'} inl={self.n_inliers}",
                   flush=True)
+        if not ok:
+            # mirror the modular path's LOST warning (tracking.py _track)
+            # — without it a pipelined-path LOST is invisible in logs
+            self.log.warning(
+                "tracking LOST at frame %d (fast path: innov=%.1fpx "
+                "inliers=%d)", frame.frame_id,
+                getattr(self, "_innov_px", 0.0), self.n_inliers)
         if ok:
             self.state = State.OK
             self.velocity = frame.Tcw @ np.linalg.inv(last.Tcw)
@@ -651,6 +687,7 @@ class Tracker:
         with store.lock:
             # candidate pid list only — the step gathers the data from
             # the mirror and excludes chain-carried pids on device
+            geo_epoch = store.geo_epoch
             lp = self.local_pts
             cand = lp[store.pt_valid[lp]].astype(np.int32)
             M = self._buckets("local", max(len(cand), 1))
@@ -677,7 +714,8 @@ class Tracker:
         )
         out.f32_pack.copy_to_host_async()
         self._pending.append(
-            (out, dict(timestamp=timestamp, M=M, cand=cand_pids)))
+            (out, dict(timestamp=timestamp, M=M, cand=cand_pids,
+                       geo_epoch=geo_epoch)))
         self._chain = new_chain
 
         # opportunistic drain: process whatever the tunnel has already
@@ -741,15 +779,22 @@ class Tracker:
         self._innov_px = innov_px
         inl1, n_vis = float(diag[3]), float(diag[1])
         self._th_mm_gate = th_mm
+        # did existing geometry move while this frame was in flight?
+        # (int read is atomic under the GIL; the apply below re-enters
+        # the lock anyway)
+        map_moved = store.geo_epoch != meta.get("geo_epoch",
+                                                store.geo_epoch)
         self._drift_soft, self._drift_reject = drift_gate(
-            innov_px, th_mm, inl1, n_vis)
+            innov_px, th_mm, inl1, n_vis, drot_deg=drot_deg,
+            map_moved=map_moved)
         self._drift_salvaged = False
 
         if _DEBUG_TRACK:
             d = diag
             print(f"[dbg]   chain-diag n_th={int(d[0])} vis={int(d[1])} "
                   f"wide={int(d[2])} inl1={int(d[3])} dt={d[4]:.3f}m "
-                  f"drot={d[5]:.2f}deg innov={innov_px:.1f}px",
+                  f"drot={d[5]:.2f}deg innov={innov_px:.1f}px "
+                  f"map_moved={int(map_moved)}",
                   flush=True)
         last = self.last_frame
         cand = meta["cand"]

@@ -593,8 +593,57 @@ class TestDriftGate:
         # divergence; must NOT reject (rejecting it caused LOST + 22
         # failed relocalizations)
         from orb_slam2_tpu.slam.tracking import drift_gate
-        soft, reject = drift_gate(90.1, self.TH, inl1=145.0, n_vis=203.0)
+        soft, reject = drift_gate(90.1, self.TH, inl1=145.0, n_vis=203.0,
+                                  drot_deg=5.2)
         assert soft and not reject
+
+    def test_implausible_strong_solve_rejects(self):
+        # measured aliasing incident (debug probe f106): a 2.2 m / 24 deg
+        # 'correction' (innov 631 px) with 112/175 support on a collapsed
+        # visible set passed the strong-support test, became a wrong-pose
+        # keyframe, and nearly diverged tracking.  No honest window-
+        # biased match set can produce a 90-window / 24-degree solve —
+        # the physical-plausibility caps must reject it regardless of
+        # support (each cap must fire on its own).
+        from orb_slam2_tpu.slam.tracking import drift_gate
+        _, reject = drift_gate(631.5, self.TH, inl1=112.0, n_vis=175.0,
+                               drot_deg=24.2)
+        assert reject
+        _, reject = drift_gate(631.5, self.TH, inl1=112.0, n_vis=175.0,
+                               drot_deg=0.0)
+        assert reject  # 20-window innovation cap alone
+        _, reject = drift_gate(60.0, self.TH, inl1=400.0, n_vis=500.0,
+                               drot_deg=24.2)
+        assert reject  # 15-degree rotation cap alone
+
+    def test_map_moved_in_flight_keeps_plausible_solve(self):
+        # measured (debug probe f180): local BA + fusion at the revisit
+        # snapped the drifted section 0.4 m toward the old map while the
+        # frame was in flight; the solve followed the moved points
+        # (innov 96.3 px, 132/737 support — 'weak' because the widened
+        # window cannot span a 36 px map shift).  With map_moved the
+        # gate must keep the solve (re-anchor via soft), NOT reject it:
+        # rejecting cost a LOST and the loop never closed.
+        from orb_slam2_tpu.slam.tracking import drift_gate
+        soft, reject = drift_gate(96.3, self.TH, inl1=132.0, n_vis=737.0,
+                                  drot_deg=2.89, map_moved=True)
+        assert soft and not reject
+        # same solve without the in-flight map move: divergence, reject
+        _, reject = drift_gate(96.3, self.TH, inl1=132.0, n_vis=737.0,
+                               drot_deg=2.89, map_moved=False)
+        assert reject
+        # map_moved only LOOSENS: implausible corrections still reject,
+        # and support below 50 still rejects
+        _, reject = drift_gate(631.5, self.TH, inl1=112.0, n_vis=175.0,
+                               drot_deg=24.2, map_moved=True)
+        assert reject
+        _, reject = drift_gate(96.3, self.TH, inl1=40.0, n_vis=737.0,
+                               drot_deg=2.89, map_moved=True)
+        assert reject
+        # ... and never tightens a frame the plain gate accepts
+        _, reject = drift_gate(2.0, self.TH, inl1=40.0, n_vis=100.0,
+                               map_moved=True)
+        assert not reject
 
     def test_moderate_innovation_with_support_passes(self):
         # the damped velocity model lags real accelerations by design;
