@@ -426,8 +426,10 @@ class LocalMapper:
         existing = store.kf_obs[target_kf, f]
         conflict = (existing >= 0) & store.pt_valid[np.maximum(existing, 0)]
         add_p, add_f = p[~conflict], f[~conflict]
+        n_merged = 0
         if len(add_p):
-            store.add_observations_batch(add_p, target_kf, add_f)
+            added = store.add_observations_batch(add_p, target_kf, add_f)
+            n_merged += int(added.sum())
         for pid, feat, ex in zip(p[conflict], f[conflict],
                                  existing[conflict]):
             pid, ex = int(pid), int(ex)
@@ -438,7 +440,8 @@ class LocalMapper:
                 store.replace_point(pid, ex)
             else:
                 store.replace_point(ex, pid)
-        return len(p)
+            n_merged += 1
+        return n_merged
 
     def _fuse_into_kfs_batch_dispatch(self, targets, pids: np.ndarray):
         """Device half of forward fusion: project the current keyframe's

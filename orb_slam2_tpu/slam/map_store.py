@@ -340,13 +340,14 @@ class MapStore:
         return pids
 
     def add_observations_batch(self, pids: np.ndarray, kf: int,
-                               feats: np.ndarray):
+                               feats: np.ndarray) -> np.ndarray:
         """Same-keyframe batched AddObservation: one native engine call
-        instead of a Python round-trip per feature."""
+        instead of a Python round-trip per feature.  Returns the mask of
+        rows the engine actually added (dup rows are skipped)."""
         pids = np.asarray(pids, np.int64)
         feats = np.asarray(feats, np.int64)
         if len(pids) == 0:
-            return
+            return np.zeros(0, bool)
         prev = self.kf_obs[kf, feats]
         for i in np.nonzero((prev >= 0) & (prev != pids))[0]:
             self._unbind(int(prev[i]), kf, int(feats[i]))
@@ -354,6 +355,7 @@ class MapStore:
         added = self.obs.add_batch(pids, kf, feats.astype(np.int32), w)
         self.kf_obs[kf, feats[added]] = pids[added]
         np.add.at(self.pt_n_obs, pids[added], w[added])
+        return added
 
     def resolve_replaced(self, pid: int) -> int:
         """Follow Replace() chains (ref: MapPoint::GetReplaced)."""

@@ -42,9 +42,14 @@ def innovation_px(fx: float, dt_m: float, drot_deg: float,
 
     A translation error dt at the scene median depth moves features by
     ~fx*dt/z; a rotation error moves them by ~fx*angle (small-angle).
-    The sum is directly comparable to the matching window th_mm."""
+    The sum is directly comparable to the matching window th_mm.
+
+    Without a depth estimate (monocular chains before the first anchor,
+    zmed<=0) the translation term is unknowable but the rotation term
+    needs no depth — keep it so the drift gate stays active for mono
+    chained tracking instead of degrading to the bare 15-degree cap."""
     if zmed_m <= 0:
-        return 0.0
+        return float(fx) * float(np.radians(drot_deg))
     return float(fx) * (dt_m / zmed_m + float(np.radians(drot_deg)))
 
 
@@ -461,6 +466,17 @@ class Tracker:
                 self.n_inliers = int(np.sum(store.pt_n_obs[inl_ids] >= 1))
                 self._drift_salvaged = True
                 ok = self.n_inliers >= 30
+                if ok:
+                    # the frame's bindings/inliers are accepted, so the
+                    # visible/found statistics must count them like the
+                    # normal path above — salvaged stretches would
+                    # otherwise bias found_ratio downward and push healthy
+                    # points toward the <0.25 culling threshold.
+                    vis_ids = cand[res.vis_local[: len(cand)]]
+                    store.pt_visible[vis_ids] += 1
+                    bound_now = frame.bindings[frame.bindings >= 0]
+                    store.pt_visible[np.unique(bound_now)] += 1
+                    store.pt_found[inl_ids] += 1
                 if _DEBUG_TRACK:
                     print(f"[dbg] f{frame.frame_id} SALVAGE dev pose "
                           f"n_map={self.n_inliers} -> "
@@ -834,6 +850,16 @@ class Tracker:
         last_pids = np.where(last.bindings >= 0, last.bindings, 0)
 
         with store.lock, self.timers("pipe/apply"):
+            # re-check the epoch under the lock: if this drain blocked on
+            # a BA/fusion writeback that held the lock (and bumped
+            # geo_epoch) while we computed the gate above, the moved-map
+            # loosening must cover that window too — recompute the gate
+            # with map_moved set.
+            if not map_moved and store.geo_epoch != meta.get(
+                    "geo_epoch", store.geo_epoch):
+                self._drift_soft, self._drift_reject = drift_gate(
+                    innov_px, th_mm, inl1, n_vis, drot_deg=drot_deg,
+                    map_moved=True)
             return self._apply_fast_result(
                 frame, last, res, cand, last_pids, bindings)
 

@@ -21,9 +21,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import jax
 
 jax.config.update("jax_platforms", "cpu")   # sitecustomize override
-from orb_slam2_tpu.utils import setup_compile_cache; setup_compile_cache()
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from orb_slam2_tpu.utils import setup_compile_cache  # noqa: E402
+
+setup_compile_cache("cpu")   # AFTER the platform is pinned
 
 import numpy as np
 

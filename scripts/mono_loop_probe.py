@@ -10,11 +10,11 @@ import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 import jax
-from orb_slam2_tpu.utils import setup_compile_cache; setup_compile_cache()
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-from orb_slam2_tpu.utils import ensure_live_backend
-ensure_live_backend()
+from orb_slam2_tpu.utils import ensure_live_backend, setup_compile_cache
+_platform = ensure_live_backend()  # wedged-tunnel guard: falls back to CPU
+setup_compile_cache(_platform)     # AFTER the platform is pinned
 import logging
 logging.basicConfig(level=logging.INFO, format="%(name)s %(message)s")
 import jax.numpy as jnp, numpy as np
