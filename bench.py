@@ -8,15 +8,27 @@ the rebuild's north star is >30 FPS on one TPU chip (BASELINE.json).
 vs_baseline is measured FPS / 30 (the north-star target, not the
 easier 10 fps dataset rate).
 
-Round-3 shape (VERDICT r2 next #2): 100 frames of a textured-cylinder
-circuit at KITTI geometry (1240x376, 2000 ORB features) that creates
-keyframes continuously and CLOSES ONE LOOP inside the timed window, so
-keyframe-dense stretches, loop correction, and background GBA land in
-the measurement.  Reported beyond the median: p90, worst frame, keyframe
-count, loop count, and mapping keep-up (max queue depth + mean per-KF
-mapping time) — a 30 fps median that hides 500 ms keyframe hiccups is
-not real-time (the reference paces every frame at the dataset rate,
-Examples/Stereo/stereo_kitti.cc:100-107).
+Round-4 shape (VERDICT r3 #1/#2/#5):
+  * System.precompile() replaces the warmup passes: every shape-bucketed
+    XLA program is compiled BEFORE the first frame, so no multi-second
+    cold compile can land inside a pass (r03's timed window had a 22.2 s
+    frame) and every pass — there are no throwaway passes — runs healthy.
+  * TWO timed passes on the same warm process: an UNPIPELINED pass whose
+    per-call time is the latency to a solved pose (the reference's
+    median-tracking-time metric, stereo_kitti.cc:114-122), and a
+    PIPELINED pass (the headline fps) that additionally reports
+    pose_latency_p50/p90 — the wall time from frame arrival to its
+    authoritative pose landing on host (drained via System.poll while
+    pacing, so latency is tunnel-bound, not frame-period-bound).
+  * The pipelined pass KIDNAPS the camera (5 black frames mid-circuit):
+    tracking must go LOST and recover via BoW relocalization at speed —
+    relocalizations >= 1 is asserted in the output, exercising the
+    recovery path the reference treats as first-class
+    (src/Tracking.cc:1342-1503).
+
+The circuit itself (240 frames, 1.5 orbits, one loop closure inside the
+window) is unchanged from round 3; keyframe-dense stretches, loop
+correction, and background GBA land inside the measurement.
 """
 
 import json
@@ -33,9 +45,7 @@ import numpy as np  # noqa: E402
 
 def main():
     # wedged/absent TPU tunnel: fall back to CPU so the bench still
-    # reports a number instead of hanging the driver (a wedged axon
-    # tunnel blocks jax.devices() forever; sitecustomize overrides
-    # JAX_PLATFORMS, so only the in-process config update works)
+    # reports a number instead of hanging the driver
     from orb_slam2_tpu.utils import ensure_live_backend, setup_compile_cache
 
     platform = ensure_live_backend()
@@ -56,41 +66,32 @@ def main():
     FX = FY = 718.856
     CX, CY = 607.19, 185.22
     BF = 386.1448
-    # th_depth is a per-dataset knob in the reference (every yaml sets
-    # its own ThDepth; KITTI00-02.yaml:35 uses 35 for KITTI's deep
-    # outdoor scenes).  The synthetic cylinder's depth band is ~5.5-11 m;
-    # 35*baseline = 18.8 m classifies EVERY point "close", so the
-    # keyframe policy's need-close trigger (Tracking.cc:1470-1484) never
-    # fires and the map starves (17 KFs, no loop).  9.5*baseline = 5.1 m
-    # splits the band the way 35 splits KITTI's.
+    # th_depth=9.5 splits the synthetic cylinder's 5.5-11 m depth band
+    # the way ThDepth=35 splits KITTI's (see round-3 notes)
     settings = Settings(
         fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, width=W, height=H,
         n_features=2000, fps=10.0, th_depth=9.5,
     )
-    # deep-pipelined tracking: up to pipeline_depth frames in flight,
-    # results drained as the tunnel delivers them — hides the d2h RTT
-    # that otherwise floors every frame (accuracy parity pinned by
-    # tests/test_pipeline.py::TestPipelinedMode)
     settings.pipelined = True
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
-    # tex_h=2048: vertical texture period 17 m > the visible span at
-    # far-wall depth, so no repeated-texture descriptor aliasing (the
-    # 512 default repeats every 4.27 m — real scenes don't tile)
+    # camera kidnap window: 5 black frames starting here (pipelined pass
+    # only); placed after the map is established and before the loop
+    # revisit so relocalization recovers into a mature map
+    kidnap_at = int(os.environ.get("BENCH_KIDNAP_AT",
+                                   str(min(110, n_frames // 2))))
+    kidnap_len = 5
     scene = CylinderScene(settings.K, H, W, radius=8.0, tex_h=2048)
-    # 1.5 orbits over 240 frames = 2.25 deg/frame yaw (KITTI-00 turns
-    # peak ~3 deg/frame at 10 fps); the revisit starts at frame ~160,
-    # leaving ~80 frames (≈7 keyframes) past it — comfortably enough for
-    # the loop detector's 3-consecutive covisibility-consistency vote
     poses = circle_trajectory(n_frames, orbit_r=3.0,
                               total_angle=2 * np.pi * 1.5)
     baseline_m = BF / FX
     Trl = np.eye(4, dtype=np.float32)
     Trl[0, 3] = -baseline_m
     pairs = [(scene.render(T), scene.render(Trl @ T)) for T in poses]
+    black = np.zeros((H, W), np.uint8)
 
-    # tiny BoW vocabulary so loop closing runs (the full ORBvoc.txt is
-    # not in the image; the detector only needs discriminative words)
+    # tiny BoW vocabulary so loop closing + relocalization run (the full
+    # ORBvoc.txt is not in the image)
     probe = circle_trajectory(10, orbit_r=3.0, total_angle=2 * np.pi)
     descs = []
     for T in probe:
@@ -98,49 +99,76 @@ def main():
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
     voc = Vocabulary.train(np.concatenate(descs), k=10, L=3, levels_up=1)
 
-    def run_once(scheduler):
-        """One tracked pass; returns (times, keepup stats, healthy).
-
-        The next frame's images are prefetched right after each track
-        call — the driver's dead time between frames (dataset pacing /
-        camera period) overlaps the h2d image transfer, as a real
-        capture pipeline does; only the track call itself is timed."""
+    def run_once(pipelined: bool, kidnap: bool):
+        """One timed pass at the dataset rate (the reference driver
+        sleeps to the timestamp grid, stereo_kitti.cc:100-107).  Next
+        frame's images are prefetched right after each track call — the
+        pacing dead time overlaps the h2d transfer, as a real capture
+        pipeline does.  Returns (dispatch_times, pose_latencies, stats,
+        healthy)."""
+        settings.pipelined = pipelined
         s = System(settings, Sensor.STEREO, vocabulary=voc,
-                   scheduler=scheduler)
+                   scheduler="async")
         times = []
         max_queue = 0
-        # frames arrive at the DATASET rate, exactly like the reference
-        # driver (stereo_kitti.cc:100-107 sleeps to the 10 fps KITTI
-        # timestamp grid); the timed quantity is the track call itself.
-        # Unpaced slamming would starve the concurrent mapping thread of
-        # its inter-frame budget — something no real camera does.
+        t_disp = {}           # frame timestamp -> dispatch wall time
+        lat = []              # authoritative-pose latency per frame
+        n_seen = 0
+
+        def note(now):
+            """Stamp latencies for trajectory entries appended since the
+            last call (authoritative poses land exactly once per frame,
+            in order)."""
+            nonlocal n_seen
+            traj = s.tracker.trajectory
+            while n_seen < len(traj):
+                ts = traj[n_seen].timestamp
+                if ts in t_disp:
+                    lat.append(now - t_disp[ts])
+                n_seen += 1
+
         period = 1.0 / settings.fps
         t_next = time.perf_counter()
-        for i, (l, r) in enumerate(pairs):
-            now = time.perf_counter()
-            if now < t_next:
-                time.sleep(t_next - now)
+        for i, (left, right) in enumerate(pairs):
+            # pace to the dataset rate, draining delivered results while
+            # waiting so solved poses are stamped when the tunnel
+            # delivers them (System.poll), not at the next track call
+            while True:
+                now = time.perf_counter()
+                if now >= t_next:
+                    break
+                if s.poll():
+                    note(time.perf_counter())
+                time.sleep(min(0.002, max(t_next - now, 0.0)))
             t_next = max(t_next + period, time.perf_counter())
+            if kidnap and kidnap_at <= i < kidnap_at + kidnap_len:
+                left = right = black
+            ts = i * 0.1
             t0 = time.perf_counter()
-            s.track_stereo(l, r, i * 0.1)
-            times.append(time.perf_counter() - t0)
+            t_disp[ts] = t0
+            s.track_stereo(left, right, ts)
+            t1 = time.perf_counter()
+            note(t1)
+            times.append(t1 - t0)
             if i + 1 < len(pairs):
                 s.prefetch(*pairs[i + 1])
             max_queue = max(max_queue, len(s.local_mapper.queue))
-        # bounded post-run drain (untimed): let mapping/loop-closing
-        # finish the keyframes queued near the end of the sequence so a
-        # loop detected on the final keyframes is counted — the
-        # reference's threads likewise finish their queues while the
-        # driver computes statistics (stereo_kitti.cc:124-141)
+        # drain the pipeline + let mapping/loop closing finish the tail
+        # (untimed, like the reference's threads finishing their queues
+        # while the driver computes statistics, stereo_kitti.cc:124-141)
         t_drain = time.perf_counter()
         while time.perf_counter() - t_drain < 20.0:
-            if s.local_mapper.idle() and (
-                    s.loop_closer is None or s.loop_closer.idle()):
+            if s.poll():
+                note(time.perf_counter())
+            if (not s.tracker._pending and s.local_mapper.idle()
+                    and (s.loop_closer is None or s.loop_closer.idle())):
                 break
-            time.sleep(0.02)
+            time.sleep(0.002)
+        note(time.perf_counter())
         ok = (s.tracker.state.name == "OK"
               and int(s.map.kf_valid.sum()) >= 3
-              and s.tracker.resets == 0)
+              and s.tracker.resets == 0
+              and (not kidnap or s.tracker.relocalizations >= 1))
         stats = {
             "n_keyframes": int(s.map.kf_valid.sum()),
             "loops_closed": int(s.loop_closer.loops_closed
@@ -150,68 +178,73 @@ def main():
             "relocalizations": s.tracker.relocalizations,
         }
         # mean mapping time per processed keyframe (keep-up: must stay
-        # under the keyframe interval for mapping to not fall behind).
-        # lm/ba_{gather,device,writeback} are NESTED inside lm/local_ba
-        # (local_mapping.py:190,649-671) — summing them too would double-
-        # count the BA stage.
+        # under the keyframe interval).  lm/ba_* timers are NESTED inside
+        # lm/local_ba — summing them too would double-count.
         lm = s.local_mapper.timers
         n_kf_proc = max(lm.counts.get("lm/process_new_kf", 1), 1)
         stats["mapper_ms_per_kf"] = round(
             sum(v for k, v in lm.totals.items()
                 if not k.startswith("lm/ba_")) / n_kf_proc * 1e3, 1)
-        if scheduler == "async":
-            s.shutdown()
-        return times, stats, ok
+        s.shutdown()
+        return times, lat, stats, ok
 
-    # warmup passes: drive every shape bucket through compilation (the
-    # axon tunnel does not serve the persistent compile cache, so cold
-    # XLA compiles otherwise land inside the timed region).  Warm under
-    # the SAME scheduler as the timed pass — async-mode thread timing
-    # reaches different shape buckets than sync (round-3 profiling
-    # caught 26-35s compiles inside the timed window when warmup ran
-    # sync-only).  TWO passes: multi-second cold compiles stall the
-    # paced pipeline enough to change the run's whole keyframe/loop
-    # layout (measured: the cold pass goes LOST in the revisit window
-    # and never reaches the buckets the healthy pass needs — an 11.6 s
-    # compile then landed inside the timed window); pass 2 runs nearly
-    # warm, follows the healthy trajectory, and fills in the rest.
-    sched = "async"
-    run_once(sched)
-    run_once(sched)
+    def quantiles(xs, skip=3):
+        xs = sorted(xs[skip:])
+        if not xs:
+            return 0.0, 0.0, 0.0
+        return (xs[len(xs) // 2], xs[int(len(xs) * 0.9)], xs[-1])
 
-    # timed pass (in-process jit caches stay hot) under the REFERENCE's
-    # thread topology: mapping + loop closing on their own threads, the
-    # timed Track* call is tracking only — exactly what the reference's
-    # stereo_kitti median measures (Examples/Stereo/stereo_kitti.cc:
-    # 80-122 times TrackStereo while LocalMapping runs concurrently).
-    times, stats, ok = run_once(sched)
-    if not ok:
-        # async degraded tracking on this host — report the sequential
-        # deterministic mode instead (slower but always healthy)
-        sched = "sync"
-        run_once(sched)
-        times, stats, _ = run_once(sched)
+    # compile every shape bucket BEFORE any timed frame (VERDICT r3 #1:
+    # replaces the two warmup passes — there are no throwaway passes)
+    t0 = time.perf_counter()
+    pre_sys = System(settings, Sensor.STEREO, vocabulary=voc,
+                     scheduler="sync")
+    pre_sys.precompile()
+    precompile_s = round(time.perf_counter() - t0, 1)
 
-    # steady-state stats over the full run past init
-    steady = sorted(times[3:])
-    median = steady[len(steady) // 2]
-    p90 = steady[int(len(steady) * 0.9)]
-    fps = 1.0 / median
+    # pass 1 (timed): UNPIPELINED — per-call time IS solved-pose latency,
+    # the reference's median tracking time metric
+    times_u, _, stats_u, ok_u = run_once(pipelined=False, kidnap=False)
+    # pass 2 (timed): PIPELINED with a mid-circuit camera kidnap — the
+    # headline dispatch fps + honest pose latency + reloc-at-speed
+    times_p, lat_p, stats_p, ok_p = run_once(pipelined=True, kidnap=True)
+
+    degraded = []
+    if not ok_u:
+        degraded.append("unpipelined")
+    if not ok_p:
+        degraded.append("pipelined")
+
+    p50_u, p90_u, worst_u = quantiles(times_u)
+    p50_p, p90_p, worst_p = quantiles(times_p)
+    lat50, lat90, lat_worst = quantiles(lat_p)
+    fps = 1.0 / p50_p
     out = {
         "metric": "kitti_shape_stereo_tracking_fps",
         "value": round(fps, 2),
-        "unit": "frames/sec (median, 1240x376 stereo, 2000 ORB "
-                f"features, {n_frames}-frame loop circuit, {sched} "
-                "scheduler)" + backend_note,
-        # vs the >30 fps single-chip north star (BASELINE.json), not the
-        # 10 fps KITTI dataset rate
+        "unit": "frames/sec (median dispatch, 1240x376 stereo, 2000 ORB "
+                f"features, {n_frames}-frame loop circuit + 5-frame "
+                "kidnap, async pipelined)" + backend_note,
+        # vs the >30 fps single-chip north star (BASELINE.json)
         "vs_baseline": round(fps / 30.0, 3),
-        "p50_ms": round(median * 1e3, 1),
-        "p90_ms": round(p90 * 1e3, 1),
-        "worst_ms": round(steady[-1] * 1e3, 1),
+        "p50_ms": round(p50_p * 1e3, 1),
+        "p90_ms": round(p90_p * 1e3, 1),
+        "worst_ms": round(worst_p * 1e3, 1),
+        # solved-pose latency of the pipelined pass (frame arrival ->
+        # authoritative pose on host)
+        "pose_latency_p50_ms": round(lat50 * 1e3, 1),
+        "pose_latency_p90_ms": round(lat90 * 1e3, 1),
+        "pose_latency_worst_ms": round(lat_worst * 1e3, 1),
+        # the reference-comparable synchronous number (VERDICT r3 #2)
+        "fps_unpipelined": round(1.0 / p50_u, 2),
+        "unpipelined_p90_ms": round(p90_u * 1e3, 1),
+        "unpipelined_worst_ms": round(worst_u * 1e3, 1),
+        "precompile_s": precompile_s,
         "n_frames": n_frames,
+        "degraded_passes": degraded,
     }
-    out.update(stats)
+    out.update(stats_p)
+    out["n_keyframes_unpipelined"] = stats_u["n_keyframes"]
     print(json.dumps(out))
 
 

@@ -114,6 +114,26 @@ class Settings:
     # (track->map->loop per frame), "async" = reference-style threads.
     scheduler: str = "sync"
 
+    # Fixed-shape bucket pinning (new; SURVEY §5.7).  Every dynamically
+    # sized device program pads its data dimension to one of these
+    # pinned minimums; a run whose live sizes stay under them compiles
+    # each program exactly ONCE, and System.precompile() can build all
+    # executables before the first frame (a cold XLA compile landing
+    # mid-run costs 10-50 s — the reference never stalls because its
+    # CPU kernels need no compilation).  0 -> derived at finalize().
+    bucket_local: int = 0        # tracking local-candidate block rows
+    bucket_fuse: int = 0         # mapper fuse candidate rows
+    bucket_ba_cams: int = 16     # local-BA camera vertices
+    bucket_ba_pts: int = 0       # local-BA point vertices
+    bucket_ba_edges: int = 0     # local-BA edges (observations)
+    bucket_nb: int = 16          # neighbor keyframes per batched dispatch
+    bucket_reloc: int = 256      # reloc PnP rows
+    bucket_sim3: int = 512       # loop Sim3 correspondence rows
+    bucket_loop_pts: int = 2048  # loop-point block (fuse / projection)
+    bucket_pg_cams: int = 64     # pose-graph vertices
+    bucket_pg_edges: int = 512   # pose-graph edges
+    device_map_cap: int = 1 << 17  # device point-mirror rows
+
     # Viewer (ref: src/Viewer.cc:33-51); kept for config compatibility.
     viewer_fps: float = 30.0
     viewpoint_x: float = 0.0
@@ -131,6 +151,26 @@ class Settings:
             # x2 headroom: monocular init doubles the budget
             # (ref: src/Tracking.cc:126) and FAST can overshoot per cell.
             self.max_keypoints = int(2 * self.n_features)
+        # derived bucket pins: sized so the KITTI-class bench circuit
+        # (2000 features, ~80-KF local windows) never outgrows them
+        def _pow2(n: int, lo: int) -> int:
+            b = lo
+            while b < n:
+                b *= 2
+            return b
+
+        if self.bucket_local == 0:
+            # 2x the feature budget: the local window typically offers
+            # 1.5-2 candidates per frame feature on KITTI-class scenes;
+            # beyond the cap the least-covisible candidates are dropped
+            # (tracking._update_local_map truncates in relevance order)
+            self.bucket_local = _pow2(2 * self.n_features, 512)
+        if self.bucket_fuse == 0:
+            self.bucket_fuse = self.bucket_local
+        if self.bucket_ba_pts == 0:
+            self.bucket_ba_pts = 2 * self.bucket_local
+        if self.bucket_ba_edges == 0:
+            self.bucket_ba_edges = 4 * self.bucket_ba_pts
         return self
 
     # -- reference-compatible derived quantities ------------------------

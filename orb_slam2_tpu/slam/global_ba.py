@@ -57,6 +57,16 @@ class GlobalBA:
         self.runs_finished = 0
         self.runs_aborted = 0
         self.log = logs.get("loop.gba")
+        # OWN sticky buckets: GBA packs the whole map, and growing the
+        # mapper's shared buckets would pad every later local BA to
+        # global size (a 2048-camera pad on a 16-camera window at
+        # reference scale)
+        from orb_slam2_tpu.utils import StickyBuckets
+
+        s = local_mapper.s
+        self._buckets = StickyBuckets(
+            K=2 * s.bucket_ba_cams, P=s.bucket_ba_pts,
+            E=s.bucket_ba_edges, fuse=s.bucket_fuse, nb=s.bucket_nb)
 
     @property
     def store(self):
@@ -121,7 +131,7 @@ class GlobalBA:
             if len(pids) == 0:
                 return None
             prob, cam_index, pids, _e_feat = self.mapper._gather_ba_problem(
-                cams, [], pids)
+                cams, [], pids, buckets=self._buckets)
         import jax.numpy as jnp
         fix0 = fixed_kf if fixed_kf is not None else store.origin_kf
         cam_fixed = np.asarray(prob.cam_fixed).copy()

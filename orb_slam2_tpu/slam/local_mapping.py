@@ -56,7 +56,10 @@ class LocalMapper:
         self._bounds_dev = jnp.asarray(self.bounds)
         self.current_kf = -1
         self._spin_lock = threading.Lock()
-        self._buckets = StickyBuckets(fuse=512, K=16, P=1024, E=4096, nb=8)
+        self._buckets = StickyBuckets(
+            fuse=settings.bucket_fuse, K=settings.bucket_ba_cams,
+            P=settings.bucket_ba_pts, E=settings.bucket_ba_edges,
+            nb=settings.bucket_nb)
         # per-processed-keyframe callbacks (Monopub stream contract)
         self.on_keyframe: List = []
         self.timers = StageTimers()
@@ -178,7 +181,8 @@ class LocalMapper:
                 if pend_fuse is not None:
                     with self.timers("lm/fuse_wait"):
                         if pend_fuse["fwd"] is not None:
-                            jax.block_until_ready(pend_fuse["fwd"][1])
+                            jax.block_until_ready(
+                                [p for _, p in pend_fuse["fwd"][1]])
                         if pend_fuse["rev"] is not None:
                             jax.block_until_ready(pend_fuse["rev"][1])
                 with lock, self.timers("lm/fuse_apply"):
@@ -452,53 +456,66 @@ class LocalMapper:
         if len(pids) == 0 or not targets:
             return None
         M = self._buckets("fuse", len(pids))
-        B = self._buckets("nb", len(targets))
+        # FIXED batch width (fixed-shape story): more targets than the
+        # bucket are processed in chunks through the SAME compiled
+        # program — a grown batch width would both recompile mid-run and
+        # blow up the (B, M, N) distance-matrix footprint (second-order
+        # neighborhoods reach ~60 keyframes on mature maps)
+        B = self.s.bucket_nb
         mask = pad_rows(np.ones(len(pids), bool), M, False)
+        pts_dev = jnp.asarray(pad_rows(store.pt_pos[pids], M))
+        mask_dev = jnp.asarray(mask)
+        desc_dev = jnp.asarray(pad_rows(store.pt_desc[pids], M))
+        normal_dev = jnp.asarray(pad_rows(store.pt_normal[pids], M))
+        mind_dev = jnp.asarray(pad_rows(store.pt_min_dist[pids], M))
+        maxd_dev = jnp.asarray(pad_rows(store.pt_max_dist[pids], M))
 
-        def stack(key):
-            hs = [store.kf_device(t, key) for t in targets]
-            hs += [hs[-1]] * (B - len(targets))
-            return jnp.stack(hs)
+        chunks = []
+        for c0 in range(0, len(targets), B):
+            chunk = targets[c0:c0 + B]
 
-        Tcw_b = np.stack([store.kf_pose[t] for t in targets]
-                         + [np.eye(4, dtype=np.float32)]
-                         * (B - len(targets)))
-        kf_mask = np.zeros(B, bool)
-        kf_mask[: len(targets)] = True
+            def stack(key):
+                hs = [store.kf_device(t, key) for t in chunk]
+                hs += [hs[-1]] * (B - len(chunk))
+                return jnp.stack(hs)
 
-        packed = matching.fuse_points_batch(
-            jnp.asarray(pad_rows(store.pt_pos[pids], M)),
-            jnp.asarray(mask),
-            jnp.asarray(pad_rows(store.pt_desc[pids], M)),
-            jnp.asarray(pad_rows(store.pt_normal[pids], M)),
-            jnp.asarray(pad_rows(store.pt_min_dist[pids], M)),
-            jnp.asarray(pad_rows(store.pt_max_dist[pids], M)),
-            jnp.asarray(Tcw_b),
-            stack("xy"), stack("ur"), stack("octave"), stack("desc"),
-            stack("valid"), jnp.asarray(kf_mask),
-            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
-            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
-            jnp.float32(self.s.bf),
-            self._bounds_dev, self._sf_dev, self._ls2_dev,
-            self.log_scale, self.s.n_levels,
-        )
-        return pids, packed, B, M
+            Tcw_b = np.stack([store.kf_pose[t] for t in chunk]
+                             + [np.eye(4, dtype=np.float32)]
+                             * (B - len(chunk)))
+            kf_mask = np.zeros(B, bool)
+            kf_mask[: len(chunk)] = True
+
+            packed = matching.fuse_points_batch(
+                pts_dev, mask_dev, desc_dev, normal_dev,
+                mind_dev, maxd_dev,
+                jnp.asarray(Tcw_b),
+                stack("xy"), stack("ur"), stack("octave"), stack("desc"),
+                stack("valid"), jnp.asarray(kf_mask),
+                jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                jnp.float32(self.s.bf),
+                self._bounds_dev, self._sf_dev, self._ls2_dev,
+                self.log_scale, self.s.n_levels,
+            )
+            chunks.append((chunk, packed))
+        return pids, chunks, B, M
 
     def _fuse_into_kfs_batch_apply(self, targets, dispatched):
         if dispatched is None:
             return
-        pids, packed, B, M = dispatched
+        pids, chunks, B, M = dispatched
         store = self.store
-        idx_b, ok_b = matching.unpack_fuse_batch(packed, B, M)
-        for bi, t in enumerate(targets):
-            if not store.kf_valid[t]:
-                continue
-            ok = ok_b[bi][: len(pids)].copy()
-            # drop points this keyframe already observes (kf_obs mirrors
-            # the observation engine, so membership is one isin)
-            row_t = store.kf_obs[t]
-            ok &= ~np.isin(pids, row_t[row_t >= 0])
-            self._apply_fuse_rows(t, pids, idx_b[bi][: len(pids)], ok)
+        for chunk, packed in chunks:
+            idx_b, ok_b = matching.unpack_fuse_batch(packed, B, M)
+            for bi, t in enumerate(chunk):
+                if not store.kf_valid[t]:
+                    continue
+                ok = ok_b[bi][: len(pids)].copy()
+                # drop points this keyframe already observes (kf_obs
+                # mirrors the observation engine: membership is one isin)
+                row_t = store.kf_obs[t]
+                ok &= ~np.isin(pids, row_t[row_t >= 0])
+                self._apply_fuse_rows(t, pids, idx_b[bi][: len(pids)], ok)
 
     def _search_in_neighbors(self, kf: int):
         """ref: LocalMapping::SearchInNeighbors (src/LocalMapping.cc:454):
@@ -532,6 +549,13 @@ class LocalMapper:
             return None
         d_fwd = self._fuse_into_kfs_batch_dispatch(targets, own_pids)
         fuse_cands = store.points_in_kfs(targets)
+        # bound the reverse-fuse candidate block at the precompiled
+        # growth step (fixed-shape story): overflow candidates simply
+        # wait for a later keyframe's fuse pass, which re-gathers from
+        # the same neighborhood
+        cap = 2 * self.s.bucket_fuse
+        if len(fuse_cands) > cap:
+            fuse_cands = fuse_cands[:cap]
         d_rev = self._fuse_into_kf_dispatch(kf, fuse_cands)
         return {"targets": targets, "fwd": d_fwd, "rev": d_rev,
                 "guard": self._map_guard()}
@@ -557,17 +581,22 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def _gather_ba_problem(
         self, cams: List[int], fixed: List[int], pids: np.ndarray,
-        store: Optional[MapStore] = None,
+        store: Optional[MapStore] = None, buckets=None,
     ) -> Tuple[ba.BAProblem, Dict[int, int], np.ndarray, list]:
         """Pack a window into a fixed-shape BAProblem (bucketed padding).
 
         `store` lets local_bundle_adjustment keep the whole pass on the
-        store it captured before a concurrent reset swap."""
+        store it captured before a concurrent reset swap.  `buckets`
+        overrides the local-BA sticky buckets — global BA packs the
+        WHOLE map, and letting it grow the shared buckets would leave
+        every subsequent local BA padded to global size (at reference
+        scale: a 2048-camera pad on a 16-camera window)."""
         store = self.store if store is None else store
+        buckets = self._buckets if buckets is None else buckets
         all_cams = list(cams) + list(fixed)
         cam_index = {c: i for i, c in enumerate(all_cams)}
-        K = self._buckets("K", len(all_cams))
-        P = self._buckets("P", max(len(pids), 1))
+        K = buckets("K", len(all_cams))
+        P = buckets("P", max(len(pids), 1))
 
         cam_T = pad_rows(store.kf_pose[all_cams], K)
         cam_T[len(all_cams):] = np.eye(4, dtype=np.float32)
@@ -596,7 +625,7 @@ class LocalMapper:
         e_is2_a = (1.0 / self.level_sigma2[
             store.kf_octave[kfs_e, feats_e]]).astype(np.float32)
         e_feat = list(zip(kfs_e.tolist(), feats_e.tolist()))
-        E = self._buckets("E", max(len(e_cam_a), 1))
+        E = buckets("E", max(len(e_cam_a), 1))
         edge_cam = pad_rows(e_cam_a.astype(np.int32), E)
         edge_pt = pad_rows(idxs.astype(np.int32), E)
         edge_uv = pad_rows(e_uv_a.reshape(-1, 3), E)

@@ -276,7 +276,7 @@ class LoopCloser:
         max_err2 = 9.210 * self.level_sigma2[oct2]
 
         n = len(rows)
-        n_pad = bucket_size(n, 64)
+        n_pad = bucket_size(n, self.s.bucket_sim3)
 
         def padr(a, fill=0.0, pad=None):
             pad = (n_pad - n) if pad is None else pad
@@ -318,7 +318,7 @@ class LoopCloser:
         pc1, pc2, uv1, uv2, oct1, oct2 = self._gather_pairs(
             kf, cand, rows, idx)
         n = len(rows)
-        n_pad = bucket_size(n, 64)
+        n_pad = bucket_size(n, self.s.bucket_sim3)
         inv_s2_1 = (1.0 / self.level_sigma2[oct1]).astype(np.float32)
         inv_s2_2 = (1.0 / self.level_sigma2[oct2]).astype(np.float32)
         mask = padr(np.ones(n, bool), False)
@@ -384,31 +384,42 @@ class LoopCloser:
         store = self.store
         if len(loop_pts) == 0:
             return 0
-        M = bucket_size(len(loop_pts), 256)
+        # FIXED chunk width: loop-point sets grow with map density, and
+        # a grown padded shape would compile a fresh XLA program while
+        # this thread holds store.lock (tracking blocked the whole time)
+        M = self.s.bucket_loop_pts
         free = store.kf_feat_valid[kf].copy()
         if exclude_feats is not None:
             free[exclude_feats] = False
         pt_mask = np.ones(len(loop_pts), bool)
         if exclude_pids is not None:
             pt_mask &= ~np.isin(loop_pts, exclude_pids)
-        m = matching.search_by_sim3_projection(
-            jnp.asarray(pad_rows(store.pt_pos[loop_pts], M)),
-            jnp.asarray(pad_rows(pt_mask, M, False)),
-            jnp.asarray(pad_rows(store.pt_desc[loop_pts], M)),
-            jnp.asarray(pad_rows(store.pt_min_dist[loop_pts], M)),
-            jnp.asarray(pad_rows(store.pt_max_dist[loop_pts], M)),
-            jnp.asarray(R.astype(np.float32)),
-            jnp.asarray(t.astype(np.float32)), jnp.float32(s),
-            store.kf_device(kf, "xy"), store.kf_device(kf, "octave"),
-            store.kf_device(kf, "desc"), jnp.asarray(free),
-            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
-            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
-            jnp.asarray(self.bounds), jnp.asarray(self.scale_factors),
-            self.log_scale, self.s.n_levels,
-            jnp.float32(10.0),
-        )
-        _, _, ok = matching.to_host(m)
-        return int(ok.sum())
+        free_dev = jnp.asarray(free)
+        matched_feats: list = []
+        for c0 in range(0, len(loop_pts), M):
+            pts_c = loop_pts[c0:c0 + M]
+            m = matching.search_by_sim3_projection(
+                jnp.asarray(pad_rows(store.pt_pos[pts_c], M)),
+                jnp.asarray(pad_rows(pt_mask[c0:c0 + M], M, False)),
+                jnp.asarray(pad_rows(store.pt_desc[pts_c], M)),
+                jnp.asarray(pad_rows(store.pt_min_dist[pts_c], M)),
+                jnp.asarray(pad_rows(store.pt_max_dist[pts_c], M)),
+                jnp.asarray(R.astype(np.float32)),
+                jnp.asarray(t.astype(np.float32)), jnp.float32(s),
+                store.kf_device(kf, "xy"), store.kf_device(kf, "octave"),
+                store.kf_device(kf, "desc"), free_dev,
+                jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                jnp.asarray(self.bounds), jnp.asarray(self.scale_factors),
+                self.log_scale, self.s.n_levels,
+                jnp.float32(10.0),
+            )
+            idx, _, ok = matching.to_host(m)
+            matched_feats.append(idx[ok])
+        # a feature matched from two chunks counts once (the in-chunk
+        # duplicate resolution cannot see across chunks)
+        return len(np.unique(np.concatenate(matched_feats))) \
+            if matched_feats else 0
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf, cand, R12, t12, s12, Scw_R, Scw_t, Scw_s,
@@ -520,39 +531,49 @@ class LoopCloser:
         store = self.store
         if len(loop_pts) == 0:
             return
-        M = bucket_size(len(loop_pts), 256)
-        # shared loop-point block, uploaded once
-        pts_dev = jnp.asarray(pad_rows(store.pt_pos[loop_pts], M))
-        valid_dev = jnp.asarray(pad_rows(
-            np.ones(len(loop_pts), bool), M, False))
-        desc_dev = jnp.asarray(pad_rows(store.pt_desc[loop_pts], M))
-        mind_dev = jnp.asarray(pad_rows(store.pt_min_dist[loop_pts], M))
-        maxd_dev = jnp.asarray(pad_rows(store.pt_max_dist[loop_pts], M))
-        # dispatch every window keyframe's projection before pulling any
-        # result: the device queue hides the tunnel RTT instead of one
-        # serialized round-trip per keyframe
+        # FIXED chunk width (see _count_sim3_matches): big loop-point
+        # sets go through the same compiled program in chunks
+        M = self.s.bucket_loop_pts
+        chunks = []
+        for c0 in range(0, len(loop_pts), M):
+            pts_c = loop_pts[c0:c0 + M]
+            chunks.append((
+                pts_c,
+                jnp.asarray(pad_rows(store.pt_pos[pts_c], M)),
+                jnp.asarray(pad_rows(np.ones(len(pts_c), bool), M, False)),
+                jnp.asarray(pad_rows(store.pt_desc[pts_c], M)),
+                jnp.asarray(pad_rows(store.pt_min_dist[pts_c], M)),
+                jnp.asarray(pad_rows(store.pt_max_dist[pts_c], M)),
+            ))
+        # dispatch every (window keyframe x chunk) projection before
+        # pulling any result: the device queue hides the tunnel RTT
+        # instead of one serialized round-trip per keyframe
         dispatched = []
         for ki in window:
             R, t, s = corrected[ki]
-            m = matching.search_by_sim3_projection(
-                pts_dev, valid_dev, desc_dev, mind_dev, maxd_dev,
-                jnp.asarray(R.astype(np.float32)),
-                jnp.asarray(t.astype(np.float32)), jnp.float32(s),
-                store.kf_device(ki, "xy"), store.kf_device(ki, "octave"),
-                store.kf_device(ki, "desc"),
-                jnp.asarray(store.kf_feat_valid[ki]),
-                jnp.float32(self.s.fx), jnp.float32(self.s.fy),
-                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
-                jnp.asarray(self.bounds), jnp.asarray(self.scale_factors),
-                self.log_scale, self.s.n_levels,
-                jnp.float32(4.0),
-            )
-            dispatched.append((ki, m))
+            for pts_c, pts_dev, valid_dev, desc_dev, mind_dev, maxd_dev \
+                    in chunks:
+                m = matching.search_by_sim3_projection(
+                    pts_dev, valid_dev, desc_dev, mind_dev, maxd_dev,
+                    jnp.asarray(R.astype(np.float32)),
+                    jnp.asarray(t.astype(np.float32)), jnp.float32(s),
+                    store.kf_device(ki, "xy"),
+                    store.kf_device(ki, "octave"),
+                    store.kf_device(ki, "desc"),
+                    jnp.asarray(store.kf_feat_valid[ki]),
+                    jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                    jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                    jnp.asarray(self.bounds),
+                    jnp.asarray(self.scale_factors),
+                    self.log_scale, self.s.n_levels,
+                    jnp.float32(4.0),
+                )
+                dispatched.append((ki, pts_c, m))
         touched = []
-        for ki, m in dispatched:
+        for ki, pts_c, m in dispatched:
             idx, _, ok = matching.to_host(m)
-            for row in np.nonzero(ok[: len(loop_pts)])[0]:
-                pid_new = int(loop_pts[row])
+            for row in np.nonzero(ok[: len(pts_c)])[0]:
+                pid_new = int(pts_c[row])
                 feat = int(idx[row])
                 if not store.pt_valid[pid_new]:
                     continue
@@ -700,19 +721,39 @@ class LoopCloser:
             mt.extend(tji.astype(np.float32))
             ms.extend([1.0] * len(bi))
 
-        E = max(len(e_i), 1)
+        # bucketed padding (Settings.bucket_pg_*): the pose graph runs
+        # under store.lock, so an unpadded shape would compile a fresh
+        # XLA program while the tracking thread waits on the lock —
+        # with pinned buckets System.precompile() builds it beforehand.
+        # Padded vertices are masked out and frozen (identity); padded
+        # edges are masked out (edge 0-0).
+        E = len(e_i)
+        Kp = bucket_size(K, self.s.bucket_pg_cams)
+        Ep = bucket_size(max(E, 1), self.s.bucket_pg_edges)
+        R_p = pad_rows(R, Kp)
+        R_p[K:] = np.eye(3, dtype=np.float32)
+        s_p = pad_rows(s, Kp, 1.0)
+        mR_a = (np.stack(mR).astype(np.float32) if E
+                else np.zeros((0, 3, 3), np.float32))
+        mt_a = (np.stack(mt).astype(np.float32) if E
+                else np.zeros((0, 3), np.float32))
+        mR_p = pad_rows(mR_a, Ep)
+        mR_p[E:] = np.eye(3, dtype=np.float32)
         prob = pose_graph.PoseGraphProblem(
-            jnp.asarray(R), jnp.asarray(t), jnp.asarray(s),
-            jnp.asarray(fixed), jnp.asarray(np.ones(K, bool)),
-            jnp.asarray(np.array(e_i, np.int32)),
-            jnp.asarray(np.array(e_j, np.int32)),
-            jnp.asarray(np.stack(mR).astype(np.float32)),
-            jnp.asarray(np.stack(mt).astype(np.float32)),
-            jnp.asarray(np.array(ms, np.float32)),
-            jnp.asarray(np.ones(len(e_i), bool)),
+            jnp.asarray(R_p), jnp.asarray(pad_rows(t, Kp)),
+            jnp.asarray(s_p),
+            jnp.asarray(pad_rows(fixed, Kp, True)),
+            jnp.asarray(pad_rows(np.ones(K, bool), Kp, False)),
+            jnp.asarray(pad_rows(np.array(e_i, np.int32), Ep)),
+            jnp.asarray(pad_rows(np.array(e_j, np.int32), Ep)),
+            jnp.asarray(mR_p), jnp.asarray(pad_rows(mt_a, Ep)),
+            jnp.asarray(pad_rows(np.array(ms, np.float32), Ep, 1.0)),
+            jnp.asarray(pad_rows(np.ones(E, bool), Ep, False)),
         )
-        # dense 7Kx7K solve up to a few hundred KFs; matrix-free PCG above
-        mode = "dense" if K <= 256 else "cg"
+        # dense 7Kx7K solve up to a few hundred KFs; matrix-free PCG
+        # above (mode decided by the BUCKET so shape+mode pairs are
+        # stable and precompilable)
+        mode = "dense" if Kp <= 256 else "cg"
         R_o, t_o, s_o = pose_graph.optimize(prob, iters=20, mode=mode)
         R_o = np.asarray(R_o)
         t_o = np.asarray(t_o)

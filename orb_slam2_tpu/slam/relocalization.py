@@ -19,6 +19,7 @@ from orb_slam2_tpu.config import Settings
 from orb_slam2_tpu.ops import matching
 from orb_slam2_tpu.slam.map_store import MapStore
 from orb_slam2_tpu.solvers import epnp
+from orb_slam2_tpu.utils import bucket_size, pad_rows
 
 
 class Relocalizer:
@@ -75,7 +76,10 @@ class Relocalizer:
             oct_f = frame.feats.octave[idx[rows]]
             max_err2 = (5.991 * self.level_sigma2[oct_f]).astype(np.float32)
             n = len(rows)
-            n_pad = max(64, 1 << int(np.ceil(np.log2(max(n, 2)))))
+            # pinned bucket (Settings.bucket_reloc): most reloc attempts
+            # carry well under 256 BoW matches, so the PnP RANSAC
+            # compiles once — precompilable by System.precompile()
+            n_pad = bucket_size(n, self.s.bucket_reloc)
             pad = n_pad - n
 
             def padr(a, fill=0.0):
@@ -122,13 +126,21 @@ class Relocalizer:
                     break
                 pid_c = kf_pids[cand_rows]
                 free = frame.feats.valid & (frame.bindings < 0)
+                # pad to the keyframe feature capacity: cand_rows is
+                # bounded by it, so this is ONE precompilable shape (an
+                # unpadded or freely-bucketed shape would compile a
+                # fresh XLA program mid-relocalization — measured 3-5 s
+                # per shape on the TPU tunnel, while tracking is LOST)
+                C = store.n_feat
+                cmask = pad_rows(np.ones(len(cand_rows), bool), C, False)
                 m2 = matching.search_reloc_points(
-                    jnp.asarray(store.pt_pos[pid_c].astype(np.float32)),
-                    jnp.asarray(np.ones(len(cand_rows), bool)),
-                    jnp.asarray(store.pt_desc[pid_c]),
-                    jnp.asarray(store.pt_min_dist[pid_c]),
-                    jnp.asarray(store.pt_max_dist[pid_c]),
-                    jnp.asarray(store.kf_angle[kf][cand_rows]),
+                    jnp.asarray(pad_rows(
+                        store.pt_pos[pid_c].astype(np.float32), C)),
+                    jnp.asarray(cmask),
+                    jnp.asarray(pad_rows(store.pt_desc[pid_c], C)),
+                    jnp.asarray(pad_rows(store.pt_min_dist[pid_c], C)),
+                    jnp.asarray(pad_rows(store.pt_max_dist[pid_c], C)),
+                    jnp.asarray(pad_rows(store.kf_angle[kf][cand_rows], C)),
                     jnp.asarray(frame.Tcw),
                     frame.feats.device("xy"), frame.feats.device("octave"),
                     frame.feats.device("desc"), frame.feats.device("angle"),
@@ -141,7 +153,7 @@ class Relocalizer:
                     jnp.float32(round_th), orb_dist=round_dist,
                 )
                 idx2, _, ok2 = matching.to_host(m2)
-                for r in np.nonzero(ok2)[0]:
+                for r in np.nonzero(ok2[: len(cand_rows)])[0]:
                     frame.bindings[idx2[r]] = pid_c[r]
                 n_good = tracker._optimize_pose(frame)
                 tracker._discard_outliers(frame)

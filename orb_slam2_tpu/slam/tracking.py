@@ -189,7 +189,7 @@ class Tracker:
         # fused one-dispatch-per-frame fast path (track_step.py)
         self.use_fast_path = True
         self._fast_step = None
-        self._buckets = StickyBuckets(local=512)
+        self._buckets = StickyBuckets(local=settings.bucket_local)
         self._seen_replace_epoch = 0
         self._frames_since_map_refresh = 0
         # device-side cache of the local-candidate block (see _fast_prep)
@@ -594,7 +594,9 @@ class Tracker:
                 self._device_map.store is not self.store:
             from orb_slam2_tpu.slam.device_map import DeviceMap
 
-            self._device_map = DeviceMap(self.store)
+            self._device_map = DeviceMap(
+                self.store, cap=int(getattr(self.s, "device_map_cap",
+                                            1 << 17)))
             # seed: everything currently in the map is dirty
             self._device_map.dirty.update(
                 int(p) for p in self.store.valid_pt_ids())
@@ -862,6 +864,24 @@ class Tracker:
                     map_moved=True)
             return self._apply_fast_result(
                 frame, last, res, cand, last_pids, bindings)
+
+    def poll(self) -> int:
+        """Drain in-flight pipelined results the device has ALREADY
+        delivered, without blocking.  Call between frames (while the
+        driver paces to the camera period) so authoritative poses land
+        as soon as the tunnel delivers them instead of at the next
+        track call — this is what makes solved-pose latency ~RTT-bound
+        rather than frame-period-bound.  Returns frames drained."""
+        n = 0
+        while (self._pending
+               and self._pending[0][0].f32_pack.is_ready()):
+            self._drain_one_pending()
+            n += 1
+            if self.state != State.OK or self.last_frame is None:
+                break
+            if getattr(self, "_chain_dirty", 0) > 0:
+                break       # next track call re-anchors first
+        return n
 
     def _flush_pipeline(self):
         while self._pending:
@@ -1469,7 +1489,25 @@ class Tracker:
         self.local_kfs = local[:80]
         self.ref_kf = best_kf
         frame.ref_kf = best_kf
-        self.local_pts = store.points_in_kfs(self.local_kfs)
+        # local candidate points in WINDOW-RELEVANCE order (best-KF
+        # points first), hard-capped at the pinned bucket size: the
+        # reference bounds its local map by keyframes (cap 80,
+        # src/Tracking.cc:1286) but not by points; a fixed-shape device
+        # pipeline must bound the candidate block too, or the matching
+        # programs recompile mid-run when the map outgrows the bucket
+        # (measured: a 30-50 s chain-step compile at frame 10 when the
+        # early map crossed 2048 points).  Relevance order makes the
+        # truncation drop the least-covisible window's points first.
+        rows = store.kf_obs[np.asarray(self.local_kfs, np.int64)]
+        flat = rows.ravel()
+        pids_f = flat[flat >= 0]
+        uniq, first = np.unique(pids_f, return_index=True)
+        pids = uniq[np.argsort(first)]
+        pids = pids[store.pt_valid[pids]]
+        cap = self.s.bucket_local
+        if len(pids) > cap:
+            pids = pids[:cap]
+        self.local_pts = pids
         self._local_window_epoch += 1
 
     def _search_local_points(self):

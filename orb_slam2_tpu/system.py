@@ -119,6 +119,17 @@ class System:
         )
         return n if self.sensor == Sensor.MONOCULAR else n_plain
 
+    def precompile(self, stages=None, verbose: bool = False) -> dict:
+        """Compile every shape-bucketed device program before the first
+        frame (see precompile.py).  Without this, each program's first
+        call pays a 1-50 s XLA compile wherever it lands in the run —
+        the reference has no equivalent cost (its CPU kernels are
+        precompiled by definition), so a real-time claim requires the
+        compiles to happen here, not mid-circuit."""
+        from orb_slam2_tpu.precompile import precompile
+
+        return precompile(self, stages=stages, verbose=verbose)
+
     # ------------------------------------------------------------------
     # per-frame entries (ref: System::Track* src/System.cc:117-283)
     # ------------------------------------------------------------------
@@ -155,6 +166,14 @@ class System:
             self.builder.prefetch(imgs[0], depth=imgs[1])
         else:
             self.builder.prefetch(*imgs)
+
+    def poll(self) -> int:
+        """Non-blocking drain of delivered pipelined results (see
+        Tracker.poll).  Safe no-op outside pipelined mode."""
+        n = self.tracker.poll()
+        if n:
+            self._pump()
+        return n
 
     def _pump(self):
         if self.store is not self.tracker.store:

@@ -658,4 +658,9 @@ class TestDriftGate:
         # 0.043 m at 6 m depth + 0.5 deg, fx=718: ~11.4 px
         v = innovation_px(718.0, 0.043, 0.5, 6.0)
         assert abs(v - (718.0 * (0.043 / 6.0 + np.radians(0.5)))) < 1e-6
-        assert innovation_px(718.0, 1.0, 1.0, 0.0) == 0.0
+        # without a depth estimate the translation term is unknowable
+        # but the rotation term needs no depth — it must survive so the
+        # drift gate stays active for monocular chained tracking
+        # (round-3 advisor finding)
+        v0 = innovation_px(718.0, 1.0, 1.0, 0.0)
+        assert abs(v0 - 718.0 * np.radians(1.0)) < 1e-6

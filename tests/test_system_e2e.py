@@ -367,6 +367,48 @@ class TestMonocularLoopClosing:
         assert rmse < 0.2, f"mono loop-closed scaled ATE {rmse:.3f}"
 
 
+class TestPipelinedLoopCircuit:
+    """Pipelined-vs-sequential accuracy on the turning, keyframe-and-
+    loop-producing circuit (VERDICT r3 #7): the straight-line pipelined
+    test bounds per-frame jitter, but the drift gate's END-TO-END cost
+    (re-anchors, rejected solves, suppressed keyframes) only shows on a
+    circuit that turns, creates keyframes, and closes a loop.  Ref
+    behavior being preserved: motion-model tracking accuracy
+    (src/Tracking.cc:868-930)."""
+
+    @pytest.mark.slow
+    def test_pipelined_loop_ate_close_to_sequential(self, cylinder_world):
+        settings, scene, voc = cylinder_world
+        poses = circle_trajectory(120, orbit_r=2.0,
+                                  total_angle=2 * np.pi * 1.3)
+        Trl = np.eye(4, dtype=np.float32)
+        Trl[0, 3] = -BASELINE
+
+        def run(pipelined):
+            s = make_settings()
+            s.pipelined = pipelined
+            sys_ = System(s, Sensor.STEREO, vocabulary=voc)
+            for i, T in enumerate(poses):
+                sys_.track_stereo(scene.render(T), scene.render(Trl @ T),
+                                  i * 0.2)
+            sys_.tracker._flush_pipeline()
+            sys_.local_mapper.spin()
+            if sys_.loop_closer is not None:
+                sys_.loop_closer.spin()
+            return (kf_ate(sys_.map, poses, 0.2),
+                    sys_.loop_closer.loops_closed, sys_.tracker)
+
+        ate_seq, loops_seq, _ = run(False)
+        ate_pipe, loops_pipe, tr = run(True)
+        assert loops_seq >= 1, "sequential pass failed to close the loop"
+        assert loops_pipe >= 1, "pipelined pass failed to close the loop"
+        assert tr.state.name == "OK" and tr.resets == 0
+        # within 1.5x of sequential (+5 cm absolute floor for tiny-ATE
+        # noise on the toy scene)
+        assert ate_pipe <= max(1.5 * ate_seq, ate_seq + 0.05), (
+            f"pipelined ATE {ate_pipe:.3f} vs sequential {ate_seq:.3f}")
+
+
 class TestAsyncScheduler:
     """The reference's runtime thread topology (src/System.cc:85-104):
     tracking on the caller thread, LocalMapping and LoopClosing each on
