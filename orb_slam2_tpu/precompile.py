@@ -261,30 +261,110 @@ def precompile(system, stages: Optional[List[str]] = None,
     B = s.bucket_nb
     B_tri = bucket_size(20 if mono else 10, s.bucket_nb)
     M_fuse = s.bucket_fuse
+    # mapper programs run on store-shaped keyframe rows, which for mono
+    # carry the 2x init-boost feature width (System._padded_features)
+    n_feat_s = system.store.n_feat
+    fbs = fb if n_feat_s == n_feat else feat_block(n_feat_s)
+    mir = system.local_mapper.kf_mirror
 
-    def _triangulate():
-        def stack(a):
-            return jnp.broadcast_to(a[None], (B_tri,) + a.shape)
+    if mir is not None:
+        def _kf_mirror_set():
+            from orb_slam2_tpu.slam.kf_mirror import _mirror_set
+            for U in (1, 2, 4):
+                mir.f32, mir.i32, mir.desc, mir.valid = _mirror_set(
+                    mir.f32, mir.i32, mir.desc, mir.valid,
+                    jnp.zeros(U, jnp.int32),
+                    jnp.zeros((U, n_feat_s, 5), jnp.float32),
+                    jnp.zeros((U, n_feat_s, 2), jnp.int32),
+                    jnp.zeros((U, n_feat_s, 8), jnp.uint32),
+                    jnp.zeros((U, n_feat_s), bool),
+                )
+            _block(mir.f32)
 
-        packed = tri.triangulate_batch(
-            eye4,
-            fb["xy"], fb["ur"], fb["depth"], fb["octave"], fb["desc"],
-            fb["node"], fb["angle"], fb["valid"],
-            jnp.broadcast_to(eye4[None], (B_tri, 4, 4)),
-            stack(fb["xy"]), stack(fb["ur"]), stack(fb["depth"]),
-            stack(fb["octave"]), stack(fb["desc"]), stack(fb["node"]),
-            stack(fb["angle"]), stack(fb["valid"]),
-            jnp.zeros(B_tri, bool),
-            fx, fy, cx, cy, bf, sf, ls2,
-        )
-        _block(packed)
-        tri.unpack_triangulate_batch(packed, B_tri, n_feat)
+        add("mapping", "kf_mirror_set", _kf_mirror_set)
 
-    add("mapping", "triangulate_batch", _triangulate)
+        def _triangulate_gather():
+            packed = tri.triangulate_gather(
+                eye4, jnp.broadcast_to(eye4[None], (B_tri, 4, 4)),
+                jnp.int32(0), jnp.zeros(B_tri, jnp.int32),
+                mir.f32, mir.i32, mir.desc,
+                fbs["valid"], jnp.zeros((B_tri, n_feat_s), bool),
+                jnp.zeros(B_tri, bool),
+                fx, fy, cx, cy, bf, sf, ls2,
+            )
+            _block(packed)
+            tri.unpack_triangulate_batch(packed, B_tri, n_feat_s)
+
+        add("mapping", "triangulate_gather", _triangulate_gather)
+
+        def _fuse_gather():
+            for M in (M_fuse, 2 * M_fuse):
+                packed = matching.fuse_points_gather(
+                    jnp.zeros((M, 3), jnp.float32),
+                    jnp.zeros(M, bool),
+                    jnp.zeros((M, 8), jnp.uint32),
+                    jnp.zeros((M, 3), jnp.float32),
+                    jnp.zeros(M, jnp.float32), jnp.ones(M, jnp.float32),
+                    jnp.broadcast_to(eye4[None], (B, 4, 4)),
+                    jnp.zeros(B, jnp.int32),
+                    mir.f32, mir.i32, mir.desc, mir.valid,
+                    jnp.zeros(B, bool),
+                    fx, fy, cx, cy, bf, bounds, sf, ls2, log_sf,
+                    n_levels,
+                )
+                _block(packed)
+                matching.unpack_fuse_batch(packed, B, M)
+
+        add("mapping", "fuse_points_gather", _fuse_gather)
+    else:
+        def _triangulate():
+            def stack(a):
+                return jnp.broadcast_to(a[None], (B_tri,) + a.shape)
+
+            packed = tri.triangulate_batch(
+                eye4,
+                fbs["xy"], fbs["ur"], fbs["depth"], fbs["octave"],
+                fbs["desc"], fbs["node"], fbs["angle"], fbs["valid"],
+                jnp.broadcast_to(eye4[None], (B_tri, 4, 4)),
+                stack(fbs["xy"]), stack(fbs["ur"]), stack(fbs["depth"]),
+                stack(fbs["octave"]), stack(fbs["desc"]),
+                stack(fbs["node"]), stack(fbs["angle"]),
+                stack(fbs["valid"]),
+                jnp.zeros(B_tri, bool),
+                fx, fy, cx, cy, bf, sf, ls2,
+            )
+            _block(packed)
+            tri.unpack_triangulate_batch(packed, B_tri, n_feat_s)
+
+        add("mapping", "triangulate_batch", _triangulate)
+
+        def _fuse_batch():
+            def stack(a):
+                return jnp.broadcast_to(a[None], (B,) + a.shape)
+
+            for M in (M_fuse, 2 * M_fuse):
+                packed = matching.fuse_points_batch(
+                    jnp.zeros((M, 3), jnp.float32),
+                    jnp.zeros(M, bool),
+                    jnp.zeros((M, 8), jnp.uint32),
+                    jnp.zeros((M, 3), jnp.float32),
+                    jnp.zeros(M, jnp.float32), jnp.ones(M, jnp.float32),
+                    jnp.broadcast_to(eye4[None], (B, 4, 4)),
+                    stack(fbs["xy"]), stack(fbs["ur"]),
+                    stack(fbs["octave"]), stack(fbs["desc"]),
+                    stack(fbs["valid"]),
+                    jnp.zeros(B, bool),
+                    fx, fy, cx, cy, bf, bounds, sf, ls2, log_sf,
+                    n_levels,
+                )
+                _block(packed)
+                matching.unpack_fuse_batch(packed, B, M)
+
+        add("mapping", "fuse_points_batch", _fuse_batch)
 
     def _fuse():
-        # fuse candidates = points in the neighbor window; they can
-        # outgrow the pin once the map matures — cover one growth step
+        # reverse fuse into the new keyframe (fuse candidates can
+        # outgrow the pin once the map matures — cover one growth step)
         for M in (M_fuse, 2 * M_fuse):
             fm = matching.fuse_points(
                 jnp.zeros((M, 3), jnp.float32),
@@ -293,34 +373,13 @@ def precompile(system, stages: Optional[List[str]] = None,
                 jnp.zeros((M, 3), jnp.float32),
                 jnp.zeros(M, jnp.float32), jnp.ones(M, jnp.float32),
                 eye4,
-                fb["xy"], fb["ur"], fb["octave"], fb["desc"], fb["valid"],
+                fbs["xy"], fbs["ur"], fbs["octave"], fbs["desc"],
+                fbs["valid"],
                 fx, fy, cx, cy, bf, bounds, sf, ls2, log_sf, n_levels,
             )
             _block(fm.ok)
 
     add("mapping", "fuse_points", _fuse)
-
-    def _fuse_batch():
-        def stack(a):
-            return jnp.broadcast_to(a[None], (B,) + a.shape)
-
-        for M in (M_fuse, 2 * M_fuse):
-            packed = matching.fuse_points_batch(
-                jnp.zeros((M, 3), jnp.float32),
-                jnp.zeros(M, bool),
-                jnp.zeros((M, 8), jnp.uint32),
-                jnp.zeros((M, 3), jnp.float32),
-                jnp.zeros(M, jnp.float32), jnp.ones(M, jnp.float32),
-                jnp.broadcast_to(eye4[None], (B, 4, 4)),
-                stack(fb["xy"]), stack(fb["ur"]), stack(fb["octave"]),
-                stack(fb["desc"]), stack(fb["valid"]),
-                jnp.zeros(B, bool),
-                fx, fy, cx, cy, bf, bounds, sf, ls2, log_sf, n_levels,
-            )
-            _block(packed)
-            matching.unpack_fuse_batch(packed, B, M)
-
-    add("mapping", "fuse_points_batch", _fuse_batch)
 
     K, P, E = s.bucket_ba_cams, s.bucket_ba_pts, s.bucket_ba_edges
 

@@ -24,17 +24,27 @@ from orb_slam2_tpu.slam.map_store import MapStore
 from orb_slam2_tpu.solvers import ba
 from orb_slam2_tpu.solvers import triangulation as tri
 from orb_slam2_tpu.utils import (
-    StageTimers, StickyBuckets, bucket_size, pad_rows,
+    StageTimers, StickyBuckets, bucket_size, fetch_async, pad_rows,
 )
 
 
 class LocalMapper:
     def __init__(self, settings: Settings, sensor: Sensor, store: MapStore,
-                 loop_closer=None):
+                 loop_closer=None, vocabulary=None):
         self.s = settings
         self.sensor = sensor
         self.store = store
         self.loop_closer = loop_closer
+        self.vocabulary = vocabulary
+        # device-resident keyframe feature mirror: tri/fuse dispatches
+        # gather neighbor blocks on device instead of stacking eager
+        # per-keyframe arrays (slam/kf_mirror.py)
+        cap_mir = int(getattr(settings, "mirror_kf_cap", 0))
+        self.kf_mirror = None
+        if cap_mir > 0:
+            from orb_slam2_tpu.slam.kf_mirror import KfFeatureMirror
+            self.kf_mirror = KfFeatureMirror(store.n_feat, cap_mir)
+            store.bow_hooks.append(self.kf_mirror.node_dirty)
         self.queue: List[int] = []
         self.recent_points: List[int] = []
         self.abort_ba = False
@@ -109,6 +119,10 @@ class LocalMapper:
             self.store = store
         self.queue.clear()
         self.recent_points.clear()
+        if self.kf_mirror is not None:
+            # keyframe ids restart in the fresh store
+            self.kf_mirror.clear()
+            store.bow_hooks.append(self.kf_mirror.node_dirty)
         # cascade so the loop closer never holds a discarded map
         # (ref: Tracking::Reset clears LoopClosing too,
         # src/Tracking.cc:1524-1529)
@@ -150,6 +164,28 @@ class LocalMapper:
             # pass bails; its earlier writes went to the discarded map.
             store = self.store
             lock = store.lock
+            # BoW assignment for keyframes inserted without it (ref:
+            # KeyFrame::ComputeBoW in LocalMapping::ProcessNewKeyFrame —
+            # the reference also computes BoW on the mapping thread, not
+            # the tracking thread).  Device descend runs OUTSIDE the lock.
+            need_bow = False
+            if self.vocabulary is not None:
+                with lock:
+                    if self.store is not store:
+                        return
+                    need_bow = (store.kf_valid[kf]
+                                and not store.kf_bow_assigned(kf))
+                    if need_bow:
+                        desc = store.kf_desc[kf].copy()
+                        fv = store.kf_feat_valid[kf].copy()
+            if need_bow:
+                with self.timers("lm/bow"):
+                    node, word = self.vocabulary.assign_nodes(desc, fv)
+                with lock:
+                    if self.store is not store:
+                        return
+                    if store.kf_valid[kf]:
+                        store.set_kf_bow(kf, node, word)
             with lock, self.timers("lm/process_new_kf"):
                 if self.store is not store:
                     return
@@ -168,7 +204,7 @@ class LocalMapper:
                 pend_tri = self._triangulate_dispatch(kf)
             if pend_tri is not None:
                 with self.timers("lm/triangulate_wait"):
-                    jax.block_until_ready(pend_tri["packed"])
+                    fetch_async(pend_tri["packed"])
                 with lock, self.timers("lm/triangulate_apply"):
                     if self.store is not store:
                         return
@@ -181,10 +217,10 @@ class LocalMapper:
                 if pend_fuse is not None:
                     with self.timers("lm/fuse_wait"):
                         if pend_fuse["fwd"] is not None:
-                            jax.block_until_ready(
+                            fetch_async(
                                 [p for _, p in pend_fuse["fwd"][1]])
                         if pend_fuse["rev"] is not None:
-                            jax.block_until_ready(pend_fuse["rev"][1])
+                            fetch_async(pend_fuse["rev"][1])
                 with lock, self.timers("lm/fuse_apply"):
                     if self.store is not store:
                         return
@@ -289,35 +325,55 @@ class LocalMapper:
             return None
         B = self._buckets("nb", len(use))
 
-        def stack(key):
-            hs = [store.kf_device(k2, key) for k2 in use]
-            hs += [hs[-1]] * (B - len(use))
-            return jnp.stack(hs)
+        with self.timers("lm/tri_gather"):
+            T2_b = np.stack([store.kf_pose[k2] for k2 in use]
+                            + [np.eye(4, dtype=np.float32)]
+                            * (B - len(use)))
+            free2 = np.stack(
+                [store.kf_feat_valid[k2] & (store.kf_obs[k2] < 0)
+                 for k2 in use]
+                + [np.zeros(store.n_feat, bool)] * (B - len(use)))
+            nb_mask = np.zeros(B, bool)
+            nb_mask[: len(use)] = True
 
-        T2_b = np.stack([store.kf_pose[k2] for k2 in use]
-                        + [np.eye(4, dtype=np.float32)] * (B - len(use)))
-        free2 = np.stack(
-            [store.kf_feat_valid[k2] & (store.kf_obs[k2] < 0)
-             for k2 in use]
-            + [np.zeros(store.n_feat, bool)] * (B - len(use)))
-        nb_mask = np.zeros(B, bool)
-        nb_mask[: len(use)] = True
+        mir = self.kf_mirror
+        if mir is not None and mir.ensure(store, [kf] + use):
+            ids = np.full(B, use[-1], np.int32)
+            ids[: len(use)] = use
+            packed = tri.triangulate_gather(
+                jnp.asarray(T1), jnp.asarray(T2_b),
+                jnp.int32(kf), jnp.asarray(ids),
+                mir.f32, mir.i32, mir.desc,
+                jnp.asarray(free1), jnp.asarray(free2),
+                jnp.asarray(nb_mask),
+                jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                jnp.float32(self.s.bf),
+                self._sf_dev, self._ls2_dev,
+            )
+        else:
+            # legacy stacking path (mirror off or id beyond capacity)
+            def stack(key):
+                hs = [store.kf_device(k2, key) for k2 in use]
+                hs += [hs[-1]] * (B - len(use))
+                return jnp.stack(hs)
 
-        packed = tri.triangulate_batch(
-            jnp.asarray(T1),
-            store.kf_device(kf, "xy"), store.kf_device(kf, "ur"),
-            store.kf_device(kf, "depth"), store.kf_device(kf, "octave"),
-            store.kf_device(kf, "desc"), store.kf_device(kf, "node"),
-            store.kf_device(kf, "angle"), jnp.asarray(free1),
-            jnp.asarray(T2_b),
-            stack("xy"), stack("ur"), stack("depth"), stack("octave"),
-            stack("desc"), stack("node"), stack("angle"),
-            jnp.asarray(free2), jnp.asarray(nb_mask),
-            jnp.float32(self.s.fx), jnp.float32(self.s.fy),
-            jnp.float32(self.s.cx), jnp.float32(self.s.cy),
-            jnp.float32(self.s.bf),
-            self._sf_dev, self._ls2_dev,
-        )
+            packed = tri.triangulate_batch(
+                jnp.asarray(T1),
+                store.kf_device(kf, "xy"), store.kf_device(kf, "ur"),
+                store.kf_device(kf, "depth"),
+                store.kf_device(kf, "octave"),
+                store.kf_device(kf, "desc"), store.kf_device(kf, "node"),
+                store.kf_device(kf, "angle"), jnp.asarray(free1),
+                jnp.asarray(T2_b),
+                stack("xy"), stack("ur"), stack("depth"), stack("octave"),
+                stack("desc"), stack("node"), stack("angle"),
+                jnp.asarray(free2), jnp.asarray(nb_mask),
+                jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                jnp.float32(self.s.bf),
+                self._sf_dev, self._ls2_dev,
+            )
         return {"use": use, "packed": packed, "B": B,
                 "guard": self._map_guard()}
 
@@ -470,33 +526,50 @@ class LocalMapper:
         mind_dev = jnp.asarray(pad_rows(store.pt_min_dist[pids], M))
         maxd_dev = jnp.asarray(pad_rows(store.pt_max_dist[pids], M))
 
+        mir = self.kf_mirror
+        use_mir = mir is not None and mir.ensure(store, targets)
         chunks = []
         for c0 in range(0, len(targets), B):
             chunk = targets[c0:c0 + B]
-
-            def stack(key):
-                hs = [store.kf_device(t, key) for t in chunk]
-                hs += [hs[-1]] * (B - len(chunk))
-                return jnp.stack(hs)
-
             Tcw_b = np.stack([store.kf_pose[t] for t in chunk]
                              + [np.eye(4, dtype=np.float32)]
                              * (B - len(chunk)))
             kf_mask = np.zeros(B, bool)
             kf_mask[: len(chunk)] = True
 
-            packed = matching.fuse_points_batch(
-                pts_dev, mask_dev, desc_dev, normal_dev,
-                mind_dev, maxd_dev,
-                jnp.asarray(Tcw_b),
-                stack("xy"), stack("ur"), stack("octave"), stack("desc"),
-                stack("valid"), jnp.asarray(kf_mask),
-                jnp.float32(self.s.fx), jnp.float32(self.s.fy),
-                jnp.float32(self.s.cx), jnp.float32(self.s.cy),
-                jnp.float32(self.s.bf),
-                self._bounds_dev, self._sf_dev, self._ls2_dev,
-                self.log_scale, self.s.n_levels,
-            )
+            if use_mir:
+                ids = np.full(B, chunk[-1], np.int32)
+                ids[: len(chunk)] = chunk
+                packed = matching.fuse_points_gather(
+                    pts_dev, mask_dev, desc_dev, normal_dev,
+                    mind_dev, maxd_dev,
+                    jnp.asarray(Tcw_b), jnp.asarray(ids),
+                    mir.f32, mir.i32, mir.desc, mir.valid,
+                    jnp.asarray(kf_mask),
+                    jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                    jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                    jnp.float32(self.s.bf),
+                    self._bounds_dev, self._sf_dev, self._ls2_dev,
+                    self.log_scale, self.s.n_levels,
+                )
+            else:
+                def stack(key):
+                    hs = [store.kf_device(t, key) for t in chunk]
+                    hs += [hs[-1]] * (B - len(chunk))
+                    return jnp.stack(hs)
+
+                packed = matching.fuse_points_batch(
+                    pts_dev, mask_dev, desc_dev, normal_dev,
+                    mind_dev, maxd_dev,
+                    jnp.asarray(Tcw_b),
+                    stack("xy"), stack("ur"), stack("octave"),
+                    stack("desc"), stack("valid"), jnp.asarray(kf_mask),
+                    jnp.float32(self.s.fx), jnp.float32(self.s.fy),
+                    jnp.float32(self.s.cx), jnp.float32(self.s.cy),
+                    jnp.float32(self.s.bf),
+                    self._bounds_dev, self._sf_dev, self._ls2_dev,
+                    self.log_scale, self.s.n_levels,
+                )
             chunks.append((chunk, packed))
         return pids, chunks, B, M
 
@@ -568,15 +641,19 @@ class LocalMapper:
                 and store.kf_valid[kf]:
             # targets must keep dispatch order (batch rows align);
             # invalidated ones are skipped inside the apply
-            self._fuse_into_kfs_batch_apply(pend["targets"], pend["fwd"])
-            self._fuse_into_kf_apply(kf, pend["rev"])
+            with self.timers("lm/fuse_apply_fwd"):
+                self._fuse_into_kfs_batch_apply(pend["targets"],
+                                                pend["fwd"])
+            with self.timers("lm/fuse_apply_rev"):
+                self._fuse_into_kf_apply(kf, pend["rev"])
         if not store.kf_valid[kf]:
             return
-        row = store.kf_obs[kf]
-        pids = row[row >= 0]
-        store.compute_distinctive_batch(pids)
-        store.update_points_batch(pids, self.scale_factors)
-        store.update_connections(kf)
+        with self.timers("lm/fuse_refresh"):
+            row = store.kf_obs[kf]
+            pids = row[row >= 0]
+            store.compute_distinctive_batch(pids)
+            store.update_points_batch(pids, self.scale_factors)
+            store.update_connections(kf)
 
     # ------------------------------------------------------------------
     def _gather_ba_problem(
@@ -730,35 +807,36 @@ class LocalMapper:
         erase covisible keyframes whose map points are >=90% seen by >=3
         other keyframes at the same or finer scale."""
         store = self.store
+        th_obs = 3
+        # per-candidate loop stays sequential (an erase changes pt_n_obs
+        # and covisibility for later candidates, matching the reference's
+        # in-order walk); the per-feature x per-observation inner loops
+        # are one bulk obs dump + numpy per candidate
         for cand in store.ordered_covisibles(kf):
             if cand == store.origin_kf or not store.kf_valid[cand]:
                 continue
             row = store.kf_obs[cand]
             feats = np.nonzero(row >= 0)[0]
-            n_pts = 0
-            n_redundant = 0
-            th_obs = 3
-            for feat in feats:
-                pid = int(row[feat])
-                if not store.pt_valid[pid]:
-                    continue
-                if self.sensor != Sensor.MONOCULAR:
-                    d = store.kf_depth[cand, feat]
-                    if d > self.s.depth_threshold or d < 0:
-                        continue
-                n_pts += 1
-                if store.pt_n_obs[pid] <= th_obs:
-                    continue
-                level = int(store.kf_octave[cand, feat])
-                n_obs_finer = 0
-                for okf, ofeat in store.obs.items(pid):
-                    if okf == cand:
-                        continue
-                    if int(store.kf_octave[okf, ofeat]) <= level + 1:
-                        n_obs_finer += 1
-                        if n_obs_finer >= th_obs:
-                            break
-                if n_obs_finer >= th_obs:
-                    n_redundant += 1
-            if n_pts > 0 and n_redundant > 0.9 * n_pts:
+            pids = row[feats]
+            live = store.pt_valid[pids]
+            feats, pids = feats[live], pids[live]
+            if self.sensor != Sensor.MONOCULAR:
+                d = store.kf_depth[cand, feats]
+                near = (d >= 0) & (d <= self.s.depth_threshold)
+                feats, pids = feats[near], pids[near]
+            n_pts = len(pids)
+            if n_pts == 0:
+                continue
+            maybe = store.pt_n_obs[pids] > th_obs
+            if not maybe.any():
+                continue
+            # count, per maybe-point, the OTHER observations at the same
+            # or finer scale (ref :659-683: scaleLevel <= level+1)
+            idxs, okfs, ofeats = store.obs.dump(pids[maybe])
+            level = store.kf_octave[cand, feats[maybe]]
+            fine = ((okfs != cand) & store.kf_valid[okfs]
+                    & (store.kf_octave[okfs, ofeats] <= level[idxs] + 1))
+            counts = np.bincount(idxs[fine], minlength=int(maybe.sum()))
+            n_redundant = int((counts >= th_obs).sum())
+            if n_redundant > 0.9 * n_pts:
                 store.erase_keyframe(cand)

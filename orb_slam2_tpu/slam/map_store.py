@@ -168,6 +168,11 @@ class MapStore:
         self.erase_hooks: list = []
         # dirty-point sinks for device mirrors (slam/device_map.py)
         self.dirty_sinks: list = []
+        # callbacks invoked when a keyframe's BoW is assigned after
+        # insertion (ref: KeyFrame::ComputeBoW runs on the mapping
+        # thread, src/LocalMapping.cc:128-137 — keyframes can exist
+        # briefly without BoW); keyframe-feature mirrors re-upload
+        self.bow_hooks: list = []
 
     def mark_dirty(self, pids):
         # monotone point-data epoch: device-side caches of point blocks
@@ -298,6 +303,22 @@ class MapStore:
     def camera_center(self, kf: int) -> np.ndarray:
         T = self.kf_pose[kf]
         return -T[:3, :3].T @ T[:3, 3]
+
+    def kf_bow_assigned(self, kf: int) -> bool:
+        return bool((self.kf_node[kf] >= 0).any())
+
+    def set_kf_bow(self, kf: int, node: np.ndarray, word: np.ndarray):
+        """Assign BoW nodes/words to a keyframe inserted without them
+        (ref: KeyFrame::ComputeBoW, called by the mapping thread in
+        LocalMapping::ProcessNewKeyFrame).  Invalidates device caches of
+        the node field."""
+        self.kf_node[kf] = node
+        self.kf_word[kf] = word
+        cache = self.kf_dev.get(kf)
+        if cache is not None:
+            cache.pop("node", None)
+        for hook in self.bow_hooks:
+            hook(kf)
 
     # ------------------------------------------------------------------
     # points

@@ -518,8 +518,11 @@ class Tracker:
             # (matches 532 -> 103 over 7 suppressed frames).
             if (self._need_new_keyframe()
                     and not getattr(self, "_drift_salvaged", False)):
+                # keyframe BoW is deferred to the mapping thread
+                # (LocalMapper.process_one, ref: KeyFrame::ComputeBoW in
+                # LocalMapping::ProcessNewKeyFrame) — the ~30 ms device
+                # descend does not belong on the per-frame critical path
                 with self.timers("create_keyframe"):
-                    self._assign_frame_bow(frame)
                     self._create_new_keyframe()
             out_mask = frame.outlier & (frame.bindings >= 0)
             frame.bindings[out_mask] = -1
@@ -899,6 +902,23 @@ class Tracker:
                 frame.feats.desc, frame.feats.valid)
             frame.feats.node[:] = node
             frame.feats.word[:] = word
+
+    def _ensure_kf_bow(self, kf: int):
+        """Lazy keyframe BoW for fallbacks that race the mapping
+        thread's ComputeBoW: a reference keyframe created this frame may
+        not have been processed by the mapper yet (the reference
+        computes KF BoW on the mapping thread too,
+        src/LocalMapping.cc:128-137 — its TrackReferenceKeyFrame only
+        needs the FRAME's BoW because KeyFrame::ComputeBoW already ran;
+        here the store-side assignment is made idempotent instead)."""
+        store = self.store
+        voc = self.builder.vocabulary
+        if voc is None or not store.kf_valid[kf] \
+                or store.kf_bow_assigned(kf):
+            return
+        node, word = voc.assign_nodes(store.kf_desc[kf],
+                                      store.kf_feat_valid[kf])
+        store.set_kf_bow(kf, node, word)
 
     # ------------------------------------------------------------------
     # public per-frame entries (ref: GrabImage* src/Tracking.cc:168-266)
@@ -1331,6 +1351,7 @@ class Tracker:
         kf = self.ref_kf
         if kf < 0 or not store.kf_valid[kf]:
             return False
+        self._ensure_kf_bow(kf)
         kf_bind = store.kf_obs[kf]
         kf_has = kf_bind >= 0
         kf_pids = np.where(kf_has, kf_bind, 0)
@@ -1636,13 +1657,15 @@ class Tracker:
         """ref: Tracking::CreateNewKeyFrame (src/Tracking.cc:1064-1142)."""
         frame = self.current
         store = self.store
-        kf = store.add_keyframe(
-            frame.feats, frame.Tcw, frame.timestamp, frame.frame_id,
-            bindings=np.where(frame.outlier, -1, frame.bindings),
-        )
+        with self.timers("ckf/insert"):
+            kf = store.add_keyframe(
+                frame.feats, frame.Tcw, frame.timestamp, frame.frame_id,
+                bindings=np.where(frame.outlier, -1, frame.bindings),
+            )
         self.ref_kf = kf
         frame.ref_kf = kf
         if self.sensor != Sensor.MONOCULAR:
+          with self.timers("ckf/birth"):
             # vectorized CreateNewKeyFrame point birth (ref src/Tracking
             # .cc:1078-1133): depth-sorted candidates, create where the
             # binding is missing/bad/observation-less, stop after the

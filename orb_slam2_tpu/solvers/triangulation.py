@@ -191,9 +191,8 @@ def fundamental_from_poses(T1w, T2w, K1, K2):
     return jnp.linalg.inv(K1).T @ tx @ R12 @ jnp.linalg.inv(K2)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def triangulate_batch(
-    T1w,                       # (4,4) current keyframe pose
+def _triangulate_core(
+    T1w,
     xy1, ur1, depth1, octave1, desc1, node1, angle1, free1,   # (N,...)
     T2w_b,                     # (B,4,4) neighbor poses
     xy2_b, ur2_b, depth2_b, octave2_b, desc2_b, node2_b, angle2_b,
@@ -202,7 +201,7 @@ def triangulate_batch(
     fx, fy, cx, cy, bf,
     scale_factors, level_sigma2,
 ):
-    """One dispatch for CreateNewMapPoints over ALL covisible neighbors:
+    """CreateNewMapPoints over ALL covisible neighbors in one program:
     per neighbor, compute F12 + epipole on device, run the epipolar
     search, triangulate and gate.  Returns a packed f32 buffer
     [idx (B*N), ok (B*N), pts (B*N*3)]."""
@@ -240,6 +239,55 @@ def triangulate_batch(
         good.astype(jnp.float32).reshape(-1),
         pts.reshape(-1),
     ])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def triangulate_batch(
+    T1w,                       # (4,4) current keyframe pose
+    xy1, ur1, depth1, octave1, desc1, node1, angle1, free1,   # (N,...)
+    T2w_b,                     # (B,4,4) neighbor poses
+    xy2_b, ur2_b, depth2_b, octave2_b, desc2_b, node2_b, angle2_b,
+    free2_b,                   # (B,N,...)
+    nb_mask,                   # (B,) bool valid neighbors
+    fx, fy, cx, cy, bf,
+    scale_factors, level_sigma2,
+):
+    """Stacked-array entry point (legacy / mirror-overflow path)."""
+    return _triangulate_core(
+        T1w, xy1, ur1, depth1, octave1, desc1, node1, angle1, free1,
+        T2w_b, xy2_b, ur2_b, depth2_b, octave2_b, desc2_b, node2_b,
+        angle2_b, free2_b, nb_mask, fx, fy, cx, cy, bf,
+        scale_factors, level_sigma2,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def triangulate_gather(
+    T1w, T2w_b,                # (4,4) current pose, (B,4,4) neighbors
+    kf1, ids_b,                # scalar i32 + (B,) i32 mirror row ids
+    mir_f32, mir_i32, mir_desc,   # kf_mirror.KfFeatureMirror fields
+    free1, free2_b,            # (N,), (B,N) host masks (obs-dependent)
+    nb_mask,                   # (B,)
+    fx, fy, cx, cy, bf,
+    scale_factors, level_sigma2,
+):
+    """Mirror entry point: gathers the per-keyframe feature blocks from
+    the device-resident mirror inside the program — the host uploads only
+    poses, index vectors, and the free-slot masks (one dispatch instead
+    of ~20 eager stack/upload ops, see slam/kf_mirror.py)."""
+    f1 = mir_f32[kf1]
+    i1 = mir_i32[kf1]
+    f2 = mir_f32[ids_b]
+    i2 = mir_i32[ids_b]
+    return _triangulate_core(
+        T1w,
+        f1[:, 0:2], f1[:, 2], f1[:, 3], i1[:, 0], mir_desc[kf1],
+        i1[:, 1], f1[:, 4], free1,
+        T2w_b,
+        f2[..., 0:2], f2[..., 2], f2[..., 3], i2[..., 0], mir_desc[ids_b],
+        i2[..., 1], f2[..., 4], free2_b, nb_mask,
+        fx, fy, cx, cy, bf, scale_factors, level_sigma2,
+    )
 
 
 def unpack_triangulate_batch(packed, B, N):

@@ -60,7 +60,8 @@ class System:
                 settings, sensor, self.store, self.kf_database,
             )
         self.local_mapper = LocalMapper(
-            settings, sensor, self.store, loop_closer=self.loop_closer
+            settings, sensor, self.store, loop_closer=self.loop_closer,
+            vocabulary=vocabulary,
         )
         if self.loop_closer is not None:
             self.loop_closer.local_mapper = self.local_mapper

@@ -62,8 +62,13 @@ def ensure_live_backend(timeout_s: float = 300.0) -> str:
         jax.config.update("jax_platforms", "cpu")
         return "cpu"
     try:
+        # probe an actual computation, not just device enumeration: a
+        # wedged tunnel still lists devices instantly (metadata is
+        # cached client-side) while every dispatch blocks forever
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "assert float(jnp.float32(1.0) + 1.0) == 2.0"],
             timeout=timeout_s, capture_output=True,
         )
         alive = r.returncode == 0
@@ -102,6 +107,27 @@ class StickyBuckets:
         b = max(b, self._cur.get(name, 0))
         self._cur[name] = b
         return b
+
+
+def fetch_async(tree) -> None:
+    """Wait for device results AND start their d2h transfer.
+
+    `jax.block_until_ready` alone only waits for the computation; the
+    first host read (np.asarray) then pays a full tunnel round trip per
+    array, serially.  Starting `copy_to_host_async` on every leaf first
+    lands the host copies in parallel with the wait, so the subsequent
+    unpack/apply (often under store.lock) reads cached buffers instead
+    of the tunnel."""
+    import jax
+
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if hasattr(x, "copy_to_host_async")]
+    for x in leaves:
+        try:
+            x.copy_to_host_async()
+        except Exception:
+            pass
+    jax.block_until_ready(leaves)
 
 
 def pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:

@@ -116,6 +116,11 @@ def main():
     print(f"\ntrack dispatch p50={ts[len(ts) // 2] * 1e3:.1f}ms "
           f"p90={ts[int(len(ts) * .9)] * 1e3:.1f}ms "
           f"worst={ts[-1] * 1e3:.1f}ms")
+    tt = s.tracker.timers
+    print("tracker stages (ms/frame over counted calls):")
+    for k in sorted(tt.totals, key=lambda k: -tt.totals[k])[:12]:
+        n = max(tt.counts[k], 1)
+        print(f"  {k:24s} {tt.totals[k] / n * 1e3:8.2f} ms x{tt.counts[k]}")
     qt = np.asarray(queue_trace)
     print(f"queue depth: mean={qt.mean():.2f} p90="
           f"{np.percentile(qt, 90):.0f} max={qt.max()}")
