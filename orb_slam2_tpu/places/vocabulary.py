@@ -123,7 +123,18 @@ class Vocabulary:
 
         The mid-level node id feeds the FeatureVector-style node-aligned
         matching (SearchByBoW); the word id feeds BowVector scoring."""
-        node_mid, leaf = self._descend(jnp.asarray(desc), jnp.asarray(valid))
+        return self.finalize_nodes(*self.assign_nodes_async(desc, valid))
+
+    def assign_nodes_async(self, desc: np.ndarray, valid: np.ndarray):
+        """Dispatch the vocabulary descend WITHOUT waiting: returns the
+        device (node_mid, leaf) arrays.  Callers that feed node_mid into
+        another device program (LocalMapper chains it into the
+        triangulation dispatch) avoid a host sync per keyframe; call
+        `finalize_nodes` on the pair to land the host-side result."""
+        return self._descend(jnp.asarray(desc), jnp.asarray(valid))
+
+    def finalize_nodes(self, node_mid, leaf):
+        """Host half of assign_nodes: pull + map leaves to word ids."""
         node_mid = np.asarray(node_mid)
         leaf = np.asarray(leaf)
         word = np.where(leaf >= 0, self.word_of_node[np.maximum(leaf, 0)], -1)

@@ -267,6 +267,17 @@ def precompile(system, stages: Optional[List[str]] = None,
     fbs = fb if n_feat_s == n_feat else feat_block(n_feat_s)
     mir = system.local_mapper.kf_mirror
 
+    if have_voc and n_feat_s != n_feat:
+        # the mapper's deferred keyframe BoW descends store-width rows
+        # (mono keeps the 2x init-boost width); the frontend entry only
+        # covered frame width
+        def _kf_bow():
+            system.vocabulary.assign_nodes(
+                np.zeros((n_feat_s, 8), np.uint32),
+                np.zeros(n_feat_s, bool))
+
+        add("mapping", "kf_bow_descend", _kf_bow)
+
     if mir is not None:
         def _kf_mirror_set():
             from orb_slam2_tpu.slam.kf_mirror import _mirror_set
@@ -287,6 +298,7 @@ def precompile(system, stages: Optional[List[str]] = None,
             packed = tri.triangulate_gather(
                 eye4, jnp.broadcast_to(eye4[None], (B_tri, 4, 4)),
                 jnp.int32(0), jnp.zeros(B_tri, jnp.int32),
+                jnp.zeros(n_feat_s, jnp.int32),
                 mir.f32, mir.i32, mir.desc,
                 fbs["valid"], jnp.zeros((B_tri, n_feat_s), bool),
                 jnp.zeros(B_tri, bool),

@@ -167,8 +167,11 @@ class LocalMapper:
             # BoW assignment for keyframes inserted without it (ref:
             # KeyFrame::ComputeBoW in LocalMapping::ProcessNewKeyFrame —
             # the reference also computes BoW on the mapping thread, not
-            # the tracking thread).  Device descend runs OUTSIDE the lock.
-            need_bow = False
+            # the tracking thread).  The descend is DISPATCHED here
+            # without a wait; its device node output chains straight into
+            # the triangulation dispatch and the host result lands with
+            # the triangulation pull (one sync for both).
+            pend_bow = None
             if self.vocabulary is not None:
                 with lock:
                     if self.store is not store:
@@ -178,14 +181,10 @@ class LocalMapper:
                     if need_bow:
                         desc = store.kf_desc[kf].copy()
                         fv = store.kf_feat_valid[kf].copy()
-            if need_bow:
-                with self.timers("lm/bow"):
-                    node, word = self.vocabulary.assign_nodes(desc, fv)
-                with lock:
-                    if self.store is not store:
-                        return
-                    if store.kf_valid[kf]:
-                        store.set_kf_bow(kf, node, word)
+                if need_bow:
+                    with self.timers("lm/bow_dispatch"):
+                        pend_bow = self.vocabulary.assign_nodes_async(
+                            desc, fv)
             with lock, self.timers("lm/process_new_kf"):
                 if self.store is not store:
                     return
@@ -201,10 +200,23 @@ class LocalMapper:
             with lock, self.timers("lm/triangulate"):
                 if self.store is not store:
                     return
-                pend_tri = self._triangulate_dispatch(kf)
-            if pend_tri is not None:
+                pend_tri = self._triangulate_dispatch(kf, pend_bow)
+            if pend_tri is not None or pend_bow is not None:
                 with self.timers("lm/triangulate_wait"):
-                    fetch_async(pend_tri["packed"])
+                    fetch_async((pend_tri["packed"]
+                                 if pend_tri is not None else None,
+                                 pend_bow))
+            if pend_bow is not None:
+                node, word = self.vocabulary.finalize_nodes(*pend_bow)
+                with lock, self.timers("lm/bow_apply"):
+                    if self.store is not store:
+                        return
+                    # the tracking thread's lazy _ensure_kf_bow can win
+                    # the race while the descend was in flight
+                    if store.kf_valid[kf] \
+                            and not store.kf_bow_assigned(kf):
+                        store.set_kf_bow(kf, node, word)
+            if pend_tri is not None:
                 with lock, self.timers("lm/triangulate_apply"):
                     if self.store is not store:
                         return
@@ -291,11 +303,15 @@ class LocalMapper:
         if pend is not None:
             self._triangulate_apply(kf, pend)
 
-    def _triangulate_dispatch(self, kf: int):
+    def _triangulate_dispatch(self, kf: int, pend_bow=None):
         """Epipolar-search + triangulate against the top covisible
         keyframes, with the reference's baseline gates.  Gathers store
         state and dispatches ONE batched device call (no pull) — call
-        under store.lock; returns a pending dict or None."""
+        under store.lock; returns a pending dict or None.
+
+        `pend_bow` is the in-flight vocabulary descend for `kf` (device
+        (node_mid, leaf) pair): its node output feeds the dispatch
+        directly so triangulation never waits on a separate BoW sync."""
         store = self.store
         nn = 10 if self.sensor != Sensor.MONOCULAR else 20
         neighbors = store.best_covisibles(kf, nn)
@@ -336,13 +352,15 @@ class LocalMapper:
             nb_mask = np.zeros(B, bool)
             nb_mask[: len(use)] = True
 
+        node1 = (pend_bow[0] if pend_bow is not None
+                 else store.kf_device(kf, "node"))
         mir = self.kf_mirror
         if mir is not None and mir.ensure(store, [kf] + use):
             ids = np.full(B, use[-1], np.int32)
             ids[: len(use)] = use
             packed = tri.triangulate_gather(
                 jnp.asarray(T1), jnp.asarray(T2_b),
-                jnp.int32(kf), jnp.asarray(ids),
+                jnp.int32(kf), jnp.asarray(ids), node1,
                 mir.f32, mir.i32, mir.desc,
                 jnp.asarray(free1), jnp.asarray(free2),
                 jnp.asarray(nb_mask),
@@ -363,7 +381,7 @@ class LocalMapper:
                 store.kf_device(kf, "xy"), store.kf_device(kf, "ur"),
                 store.kf_device(kf, "depth"),
                 store.kf_device(kf, "octave"),
-                store.kf_device(kf, "desc"), store.kf_device(kf, "node"),
+                store.kf_device(kf, "desc"), node1,
                 store.kf_device(kf, "angle"), jnp.asarray(free1),
                 jnp.asarray(T2_b),
                 stack("xy"), stack("ur"), stack("depth"), stack("octave"),

@@ -265,6 +265,11 @@ def triangulate_batch(
 def triangulate_gather(
     T1w, T2w_b,                # (4,4) current pose, (B,4,4) neighbors
     kf1, ids_b,                # scalar i32 + (B,) i32 mirror row ids
+    node1,                     # (N,) i32 current-KF BoW nodes — passed
+                               # explicitly so the mapper can chain the
+                               # vocabulary descend's device output in
+                               # without a host sync (the mirror row may
+                               # hold stale/unassigned nodes at dispatch)
     mir_f32, mir_i32, mir_desc,   # kf_mirror.KfFeatureMirror fields
     free1, free2_b,            # (N,), (B,N) host masks (obs-dependent)
     nb_mask,                   # (B,)
@@ -276,13 +281,12 @@ def triangulate_gather(
     poses, index vectors, and the free-slot masks (one dispatch instead
     of ~20 eager stack/upload ops, see slam/kf_mirror.py)."""
     f1 = mir_f32[kf1]
-    i1 = mir_i32[kf1]
     f2 = mir_f32[ids_b]
     i2 = mir_i32[ids_b]
     return _triangulate_core(
         T1w,
-        f1[:, 0:2], f1[:, 2], f1[:, 3], i1[:, 0], mir_desc[kf1],
-        i1[:, 1], f1[:, 4], free1,
+        f1[:, 0:2], f1[:, 2], f1[:, 3], mir_i32[kf1][:, 0], mir_desc[kf1],
+        node1, f1[:, 4], free1,
         T2w_b,
         f2[..., 0:2], f2[..., 2], f2[..., 3], i2[..., 0], mir_desc[ids_b],
         i2[..., 1], f2[..., 4], free2_b, nb_mask,
