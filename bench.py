@@ -168,9 +168,13 @@ def main():
                 break
             time.sleep(0.002)
         note(time.perf_counter())
+        # the circuit exists to close a loop — a pass that closes none is
+        # degraded even if tracking survived (VERDICT r4 Weak #1)
         ok = (s.tracker.state.name == "OK"
               and int(s.map.kf_valid.sum()) >= 3
               and s.tracker.resets == 0
+              and (s.loop_closer is None
+                   or s.loop_closer.loops_closed >= 1)
               and (not kidnap or s.tracker.relocalizations >= 1))
         stats = {
             "n_keyframes": int(s.map.kf_valid.sum()),

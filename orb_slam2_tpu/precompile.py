@@ -291,6 +291,10 @@ def precompile(system, stages: Optional[List[str]] = None,
                     jnp.zeros((U, n_feat_s), bool),
                 )
             _block(mir.f32)
+            # the warmup zeroed row 0 of the LIVE mirror: invalidate it
+            # so a precompile() issued after frames were tracked cannot
+            # leave keyframe 0 present-but-zeroed (ADVICE r4 low)
+            mir.node_dirty(0)
 
         add("mapping", "kf_mirror_set", _kf_mirror_set)
 

@@ -48,6 +48,13 @@ class KfFeatureMirror:
         self.n_feat = int(n_feat)
         self.cap = int(cap)
         self._present = np.zeros(self.cap, bool)
+        # per-row generation counter, bumped by node_dirty: ensure()
+        # only marks a row present if its generation is unchanged across
+        # the host-array snapshot -> device upload window, so a BoW
+        # assignment landing mid-upload (set_kf_bow runs on the tracking
+        # thread WITHOUT store.lock, tracking.py _ensure_kf_bow) cannot
+        # have its invalidation overwritten (ADVICE r4 medium)
+        self._gen = np.zeros(self.cap, np.int64)
         self.f32 = jnp.zeros((self.cap, self.n_feat, 5), jnp.float32)
         self.i32 = jnp.zeros((self.cap, self.n_feat, 2), jnp.int32)
         self.desc = jnp.zeros((self.cap, self.n_feat, 8), jnp.uint32)
@@ -56,12 +63,14 @@ class KfFeatureMirror:
     def clear(self):
         """Map reset: keyframe ids restart from 0 in a fresh store."""
         self._present[:] = False
+        self._gen += 1
 
     def node_dirty(self, kf: int):
         """Invalidate a row whose BoW nodes were assigned after insertion
         (the i32 field holds node ids); the next ensure() re-uploads."""
         if 0 <= kf < self.cap:
             self._present[kf] = False
+            self._gen[kf] += 1
 
     def ensure(self, store, kfs) -> bool:
         """Upload any missing keyframe rows from the store's host arrays.
@@ -77,6 +86,11 @@ class KfFeatureMirror:
         if len(missing) == 0:
             return True
         missing = np.unique(missing)
+        # snapshot generations BEFORE reading the store's host arrays:
+        # if node_dirty fires concurrently (between this read and the
+        # _present write below) the generation moves and the row stays
+        # absent, forcing a re-upload on the next ensure()
+        gen_before = self._gen[missing].copy()
         U = 1
         while U < len(missing):
             U *= 2
@@ -96,5 +110,6 @@ class KfFeatureMirror:
             jnp.asarray(store.kf_desc[pad]),
             jnp.asarray(store.kf_feat_valid[pad]),
         )
-        self._present[missing] = True
+        unchanged = self._gen[missing] == gen_before
+        self._present[missing[unchanged]] = True
         return True

@@ -624,10 +624,12 @@ class LocalMapper:
         store = self.store
         nn = 10 if self.sensor != Sensor.MONOCULAR else 20
         targets = []
+        first_order = []
         seen = {kf}
         for nb in store.best_covisibles(kf, nn):
             if nb not in seen:
                 targets.append(nb)
+                first_order.append(nb)
                 seen.add(nb)
                 for nb2 in store.best_covisibles(nb, 5):
                     if nb2 not in seen:
@@ -646,7 +648,24 @@ class LocalMapper:
         # the same neighborhood
         cap = 2 * self.s.bucket_fuse
         if len(fuse_cands) > cap:
-            fuse_cands = fuse_cands[:cap]
+            # relevance-ranked truncation (ADVICE r4): gather candidates
+            # target-by-target — first-order neighbors in descending
+            # covisibility weight before their second-order extensions —
+            # so the dropped tail is the least-relevant, mirroring the
+            # local-map point cap's ordering (not points_in_kfs's
+            # arbitrary np.unique order)
+            ranked = first_order + [t for t in targets
+                                    if t not in set(first_order)]
+            out = np.zeros(0, np.int64)
+            for t in ranked:
+                if len(out) >= cap:
+                    break
+                row = store.kf_obs[t]
+                p = row[row >= 0]
+                p = p[store.pt_valid[p]]
+                p = p[~np.isin(p, out)]
+                out = np.concatenate([out, p])
+            fuse_cands = out[:cap]
         d_rev = self._fuse_into_kf_dispatch(kf, fuse_cands)
         return {"targets": targets, "fwd": d_fwd, "rev": d_rev,
                 "guard": self._map_guard()}

@@ -269,6 +269,13 @@ class LoopCloser:
             self.log.debug("sim3 %d<->%d: bow matches %d < 20",
                            kf, cand, len(rows))
             return False
+        # hard-cap at the top of the precompiled bucket ladder
+        # (4x bucket_sim3, precompile.py): rows is otherwise bounded only
+        # by the keyframe feature capacity, and an off-ladder shape means
+        # a multi-second mid-run XLA compile while the loop thread holds
+        # store.lock (ADVICE r4 low)
+        cap = 4 * self.s.bucket_sim3
+        rows = rows[:cap]
 
         pc1, pc2, uv1, uv2, oct1, oct2 = self._gather_pairs(
             kf, cand, rows, idx)
@@ -314,6 +321,7 @@ class LoopCloser:
             kf, cand, np.asarray(res.R12), np.asarray(res.t12),
             float(np.asarray(res.s12)), match12)
         rows = np.nonzero(match12 >= 0)[0]
+        rows = rows[:cap]          # same ladder cap as the RANSAC block
         idx = match12
         pc1, pc2, uv1, uv2, oct1, oct2 = self._gather_pairs(
             kf, cand, rows, idx)

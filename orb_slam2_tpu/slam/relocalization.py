@@ -61,7 +61,7 @@ class Relocalizer:
                 frame.feats.device("valid"), frame.feats.device("angle"),
                 ratio=0.75,
             )
-            idx, _, ok = matching.to_host(m)
+            idx, dist, ok = matching.to_host(m)
             ok = ok & kf_has
             if _DEBUG_TRACK:
                 print(f"[dbg]   reloc kf={kf} bow={int(ok.sum())}",
@@ -71,6 +71,14 @@ class Relocalizer:
 
             # EPnP RANSAC on the 3D-2D matches (ref: PnPsolver)
             rows = np.nonzero(ok)[0]
+            # hard-cap at the top of the precompiled bucket ladder
+            # (2x bucket_reloc, precompile.py), keeping the best-scoring
+            # matches: match counts past the ladder would trigger a
+            # multi-second mid-run XLA compile exactly while tracking is
+            # LOST (ADVICE r4 low)
+            cap = 2 * self.s.bucket_reloc
+            if len(rows) > cap:
+                rows = rows[np.argsort(dist[rows], kind="stable")[:cap]]
             pts_w = store.pt_pos[kf_pids[rows]]
             uv = frame.feats.xy[idx[rows]]
             oct_f = frame.feats.octave[idx[rows]]
