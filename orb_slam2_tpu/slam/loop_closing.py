@@ -308,8 +308,24 @@ class LoopCloser:
             fix_scale=fix_scale,
         )
         if not bool(res.success):
-            self.log.debug("sim3 %d<->%d: RANSAC failed over %d pairs",
-                           kf, cand, n)
+            if self.log.isEnabledFor(10):      # DEBUG diagnostics only
+                # how many pairs agree with the POSE-derived relative
+                # transform (s=1)?  High count => the solver is under-
+                # sampling; low count => the BoW matches are bad.
+                T1 = store.kf_pose[kf]
+                T2 = store.kf_pose[cand]
+                R12d = T1[:3, :3] @ T2[:3, :3].T
+                t12d = T1[:3, 3] - R12d @ T2[:3, 3]
+                pred = pc2 @ R12d.T + t12d
+                err = np.linalg.norm(pc1 - pred, axis=1)
+                self.log.debug(
+                    "sim3 %d<->%d: RANSAC failed over %d pairs "
+                    "(pose-consistent within 0.25m: %d, median 3D err "
+                    "%.2fm)", kf, cand, n, int((err < 0.25).sum()),
+                    float(np.median(err)))
+            else:
+                self.log.debug("sim3 %d<->%d: RANSAC failed over %d "
+                               "pairs", kf, cand, n)
             return False
 
         # grow the match set with Sim3-guided mutual projection before

