@@ -102,16 +102,26 @@ def main():
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
     voc = Vocabulary.train(np.concatenate(descs), k=10, L=3, levels_up=1)
 
-    def run_once(pipelined: bool, kidnap: bool):
+    def run_once(pipelined: bool, kidnap: bool, sensor=None,
+                 frames=None, precompiled_system=None):
         """One timed pass at the dataset rate (the reference driver
         sleeps to the timestamp grid, stereo_kitti.cc:100-107).  Next
         frame's images are prefetched right after each track call — the
         pacing dead time overlaps the h2d transfer, as a real capture
         pipeline does.  Returns (dispatch_times, pose_latencies, stats,
         healthy)."""
+        sensor = Sensor.STEREO if sensor is None else sensor
+        frames = pairs if frames is None else frames
         settings.pipelined = pipelined
-        s = System(settings, Sensor.STEREO, vocabulary=voc,
+        s = System(settings, sensor, vocabulary=voc,
                    scheduler="async")
+        if precompiled_system:
+            # mono/RGB-D passes precompile their own System (different
+            # store shapes); persistent cache makes reruns cheap
+            s.precompile()
+        track = {Sensor.STEREO: s.track_stereo,
+                 Sensor.MONOCULAR: s.track_monocular,
+                 Sensor.RGBD: s.track_rgbd}[sensor]
         times = []
         max_queue = 0
         t_disp = {}           # frame timestamp -> dispatch wall time
@@ -132,7 +142,7 @@ def main():
 
         period = 1.0 / settings.fps
         t_next = time.perf_counter()
-        for i, (left, right) in enumerate(pairs):
+        for i, frame in enumerate(frames):
             # pace to the dataset rate, draining delivered results while
             # waiting so solved poses are stamped when the tunnel
             # delivers them (System.poll), not at the next track call
@@ -145,16 +155,17 @@ def main():
                 time.sleep(min(0.002, max(t_next - now, 0.0)))
             t_next = max(t_next + period, time.perf_counter())
             if kidnap and kidnap_at <= i < kidnap_at + kidnap_len:
-                left = right = black
+                frame = tuple(black if f.dtype == np.uint8
+                              else np.zeros_like(f) for f in frame)
             ts = i * 0.1
             t0 = time.perf_counter()
             t_disp[ts] = t0
-            s.track_stereo(left, right, ts)
+            track(*frame, ts)
             t1 = time.perf_counter()
             note(t1)
             times.append(t1 - t0)
-            if i + 1 < len(pairs):
-                s.prefetch(*pairs[i + 1])
+            if i + 1 < len(frames):
+                s.prefetch(*frames[i + 1])
             max_queue = max(max_queue, len(s.local_mapper.queue))
         # drain the pipeline + let mapping/loop closing finish the tail
         # (untimed, like the reference's threads finishing their queues
@@ -168,12 +179,21 @@ def main():
                 break
             time.sleep(0.002)
         note(time.perf_counter())
-        # the circuit exists to close a loop — a pass that closes none is
-        # degraded even if tracking survived (VERDICT r4 Weak #1)
+        # the circuit exists to close a loop — a non-kidnap pass that
+        # closes none is degraded even if tracking survived (VERDICT r4
+        # Weak #1).  The KIDNAP pass must instead relocalize: the
+        # blackout strands the camera in unmapped territory, it stays
+        # LOST until the view re-overlaps the map, and relocalization
+        # re-anchors it INTO the old map — the revisit is then covisible
+        # with the old keyframes, so loop detection correctly suppresses
+        # a closure (r5 measured: post-reloc keyframes land within
+        # 0.02 m of ground truth with loops_closed=0 — the map is
+        # already consistent; demanding a loop there was the r4 bench's
+        # category error).
         ok = (s.tracker.state.name == "OK"
               and int(s.map.kf_valid.sum()) >= 3
               and s.tracker.resets == 0
-              and (s.loop_closer is None
+              and (kidnap or s.loop_closer is None
                    or s.loop_closer.loops_closed >= 1)
               and (not kidnap or s.tracker.relocalizations >= 1))
         stats = {
@@ -212,26 +232,52 @@ def main():
     # pass 1 (timed): UNPIPELINED — per-call time IS solved-pose latency,
     # the reference's median tracking time metric
     times_u, _, stats_u, ok_u = run_once(pipelined=False, kidnap=False)
-    # pass 2 (timed): PIPELINED with a mid-circuit camera kidnap — the
-    # headline dispatch fps + honest pose latency + reloc-at-speed
-    times_p, lat_p, stats_p, ok_p = run_once(pipelined=True, kidnap=True)
+    # pass 2 (timed): PIPELINED — the headline dispatch fps + honest
+    # pose latency, with the loop closure inside the window
+    times_p, lat_p, stats_p, ok_p = run_once(pipelined=True, kidnap=False)
+    # pass 3 (timed): PIPELINED + camera KIDNAP (5 black frames) —
+    # tracking must go LOST and recover via BoW relocalization at speed
+    # (ref: src/Tracking.cc:1342-1503); the reloc re-anchors into the
+    # old map, so no loop closure is expected here (see run_once)
+    times_k, _, stats_k, ok_k = run_once(pipelined=True, kidnap=True)
+
+    # mono + RGB-D single-pass numbers on the same circuit (VERDICT r4
+    # #6; reference bar: TUM 30 fps dataset rates).  Same fused step,
+    # different sensor plumbing + store shapes — each precompiles its
+    # own System (persistent cache makes reruns cheap).
+    mono_frames = [(l,) for l, _ in pairs]
+    times_m, _, stats_m, ok_m = run_once(
+        pipelined=True, kidnap=False, sensor=Sensor.MONOCULAR,
+        frames=mono_frames, precompiled_system=True)
+    depth_frames = [(l, scene.depth_at(T).astype(np.float32))
+                    for (l, _), T in zip(pairs, poses)]
+    times_r, _, stats_r, ok_r = run_once(
+        pipelined=True, kidnap=False, sensor=Sensor.RGBD,
+        frames=depth_frames, precompiled_system=True)
 
     degraded = []
     if not ok_u:
         degraded.append("unpipelined")
     if not ok_p:
         degraded.append("pipelined")
+    if not ok_k:
+        degraded.append("kidnap")
+    if not ok_m:
+        degraded.append("mono")
+    if not ok_r:
+        degraded.append("rgbd")
 
     p50_u, p90_u, worst_u = quantiles(times_u)
     p50_p, p90_p, worst_p = quantiles(times_p)
+    p50_k, p90_k, worst_k = quantiles(times_k)
     lat50, lat90, lat_worst = quantiles(lat_p)
     fps = 1.0 / p50_p
     out = {
         "metric": "kitti_shape_stereo_tracking_fps",
         "value": round(fps, 2),
         "unit": "frames/sec (median dispatch, 1240x376 stereo, 2000 ORB "
-                f"features, {n_frames}-frame loop circuit + 5-frame "
-                "kidnap, async pipelined)" + backend_note,
+                f"features, {n_frames}-frame loop circuit, async "
+                "pipelined)" + backend_note,
         # vs the >30 fps single-chip north star (BASELINE.json)
         "vs_baseline": round(fps / 30.0, 3),
         "p50_ms": round(p50_p * 1e3, 1),
@@ -252,6 +298,28 @@ def main():
     }
     out.update(stats_p)
     out["n_keyframes_unpipelined"] = stats_u["n_keyframes"]
+    # kidnap pass: relocalization-at-speed (5 black frames mid-circuit)
+    out.update({
+        "kidnap_fps": round(1.0 / max(p50_k, 1e-9), 2),
+        "kidnap_p90_ms": round(p90_k * 1e3, 1),
+        "kidnap_worst_ms": round(worst_k * 1e3, 1),
+        "relocalizations": stats_k["relocalizations"],
+        "kidnap_resets": stats_k["n_resets"],
+    })
+    p50_m, p90_m, worst_m = quantiles(times_m)
+    p50_r, p90_r, worst_r = quantiles(times_r)
+    out.update({
+        "mono_fps": round(1.0 / max(p50_m, 1e-9), 2),
+        "mono_p90_ms": round(p90_m * 1e3, 1),
+        "mono_worst_ms": round(worst_m * 1e3, 1),
+        "mono_keyframes": stats_m["n_keyframes"],
+        "mono_loops": stats_m["loops_closed"],
+        "rgbd_fps": round(1.0 / max(p50_r, 1e-9), 2),
+        "rgbd_p90_ms": round(p90_r * 1e3, 1),
+        "rgbd_worst_ms": round(worst_r * 1e3, 1),
+        "rgbd_keyframes": stats_r["n_keyframes"],
+        "rgbd_loops": stats_r["loops_closed"],
+    })
     print(json.dumps(out))
 
 

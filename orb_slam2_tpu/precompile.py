@@ -155,10 +155,15 @@ def precompile(system, stages: Optional[List[str]] = None,
 
     add("track", "fast_step", _fast_step)
 
-    if sensor in (Sensor.STEREO, Sensor.MONOCULAR):
+    if True:   # all sensors ride the pipelined chain step (r5: + rgbd)
         def _chain_step():
             step = system.tracker._get_chain_step()
             img_l = system.builder._upload(img_u8)
+            if sensor == Sensor.RGBD:
+                img_r = system.builder._upload_depth(
+                    np.full((H, W), 5.0, np.float32))
+            else:
+                img_r = img_l
             chain = ts.ChainState(
                 xy=fb["xy"], ur=fb["ur"], octave=fb["octave"],
                 angle=fb["angle"], desc=fb["desc"],
@@ -166,7 +171,7 @@ def precompile(system, stages: Optional[List[str]] = None,
                 T_cur=eye4, velocity=eye4,
             )
             out, new_chain = step(
-                img_l, img_l, chain,
+                img_l, img_r, chain,
                 jnp.zeros((cap, 9), jnp.float32),
                 jnp.zeros((cap, 8), jnp.uint32),
                 jnp.full(M_loc, -1, jnp.int32),

@@ -423,22 +423,22 @@ class ChainState(NamedTuple):
 
 
 def build_track_step_chained(settings, sensor_stereo):
-    """Memoized like build_track_step (same rationale).  Stereo/mono
-    only — RGB-D uses the non-pipelined fast step."""
+    """Memoized like build_track_step (same rationale).  All three
+    sensors: for rgbd the step's img_r input is the FLOAT depth image
+    (same contract as the fast step)."""
     mode = _sensor_mode(sensor_stereo)
-    if mode == "rgbd":
-        raise ValueError("chained step does not support rgbd")
     key = ("chain",) + _step_cache_key(settings, mode)
     if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = _build_track_step_chained(
-            settings, mode == "stereo")
+        _STEP_CACHE[key] = _build_track_step_chained(settings, mode)
     return _STEP_CACHE[key]
 
 
-def _build_track_step_chained(settings, sensor_stereo: bool):
+def _build_track_step_chained(settings, mode):
     """Returns step(img_l, img_r, chain, mir_f32, mir_desc, cand_pids,
     scal) -> (TrackOut, ChainState)."""
     s = settings
+    sensor_stereo = _sensor_mode(mode) == "stereo"
+    mode = _sensor_mode(mode)
     fx, fy = np.float32(s.fx), np.float32(s.fy)
     cx, cy = np.float32(s.cx), np.float32(s.cy)
     bf = np.float32(s.bf)
@@ -449,6 +449,10 @@ def _build_track_step_chained(settings, sensor_stereo: bool):
     n_levels = s.n_levels
     th_mm = 7.0 if sensor_stereo else 15.0
     baseline = np.float32(s.baseline)
+    # RGB-D depth scaling (ref: Frame RGB-D ctor src/Frame.cc:119-171)
+    dfac = float(getattr(s, "depth_map_factor", 1.0))
+    if abs(dfac - 1.0) > 1e-9 and dfac != 0:
+        dfac = 1.0 / dfac
 
     @jax.jit
     def step(img_l, img_r, chain: ChainState, mir_f32, mir_desc,
@@ -497,6 +501,18 @@ def _build_track_step_chained(settings, sensor_stereo: bool):
                 min_th=s.min_th_fast,
             )
             ur, depth = sm.u_right, sm.depth
+        elif mode == "rgbd":
+            from orb_slam2_tpu.ops import stereo as stereo_ops
+
+            feats = frontend.extract(
+                img_l, n_features=s.n_features, n_levels=n_levels,
+                scale_factor=s.scale_factor, ini_th=s.ini_th_fast,
+                min_th=s.min_th_fast,
+            )
+            # img_r carries the float depth image (same contract as the
+            # fast step; ref: Frame.cc ComputeStereoFromRGBD)
+            ur, depth = stereo_ops.depth_from_rgbd(
+                feats.xy, feats.valid, img_r, dfac, bf)
         else:
             feats = frontend.extract(
                 img_l, n_features=s.n_features, n_levels=n_levels,

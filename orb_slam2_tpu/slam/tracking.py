@@ -170,8 +170,22 @@ def drift_gate(innov_px_: float, th_mm: float, inl1: float,
                    or drot_deg > p.rot_cap_deg)
     reject = (innov_px_ > p.weak_w * th_mm and weak) or (
         innov_px_ > p.nonstrong_w * th_mm and not strong) or implausible
-    if map_moved and reject and not implausible and inl1 >= p.moved_floor:
-        reject = False   # loosen only: the solve followed the moved map
+    if map_moved and reject:
+        # loosen only: the solve followed the moved map.  A LOOP
+        # CORRECTION or GBA writeback can legitimately move the map far
+        # beyond the plausibility caps (r5 measured: a loop correction
+        # landed as a 305 px innovation on a solve holding 636 inliers —
+        # the caps, written for blind-extrapolation error, rejected a
+        # perfectly-anchored solve and cost a LOST at the revisit).
+        # With map_moved, a DECISIVE solve (2x the strong floor AND the
+        # strong fraction — the measured marginal-aliased 112/175 stays
+        # below it, the 636-inlier loop-correction solve far above)
+        # overrides even the caps; a merely-plausible solve still needs
+        # the moved floor.
+        decisive = (inl1 >= 2.0 * p.strong_floor
+                    and inl1 >= p.strong_frac * n_vis)
+        if decisive or (not implausible and inl1 >= p.moved_floor):
+            reject = False
     return soft, reject
 
 
@@ -656,7 +670,7 @@ class Tracker:
     def _get_chain_step(self):
         if self._chain_step is None:
             self._chain_step = ts.build_track_step_chained(
-                self.s, self.sensor == Sensor.STEREO)
+                self.s, self._step_mode())
         return self._chain_step
 
     def _get_device_map(self):
@@ -794,8 +808,12 @@ class Tracker:
 
         step = self._get_chain_step()
         img_l_d = self.builder._upload(img_l)
-        img_r_d = (self.builder._upload(img_r)
-                   if img_r is not None else img_l_d)
+        if img_r is None:
+            img_r_d = img_l_d
+        elif self.sensor == Sensor.RGBD:
+            img_r_d = self.builder._upload_depth(img_r)
+        else:
+            img_r_d = self.builder._upload(img_r)
         out, new_chain = step(
             img_l_d, img_r_d, self._chain, dmap.f32, dmap.desc,
             jnp.asarray(cand_pids), jnp.asarray(scal),
@@ -1017,6 +1035,9 @@ class Tracker:
 
     def grab_rgbd(self, img, depth, timestamp: float) -> Optional[np.ndarray]:
         if self._can_fast():
+            if self.pipelined:
+                with self.timers("pipelined_step"):
+                    return self._track_pipelined(img, depth, timestamp)
             with self.timers("fast_step"):
                 return self._track_fast(img, depth, timestamp)
         self._flush_pipeline()

@@ -96,7 +96,23 @@ def main():
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
     voc = Vocabulary.train(np.concatenate(descs), k=10, L=3, levels_up=1)
 
-    s = System(settings, Sensor.STEREO, vocabulary=voc, scheduler="async")
+    # CENSUS_SENSOR=mono|rgbd|stereo: which bench pass to census
+    # (r5: the mono pass showed a 12.8 s mid-run compile)
+    sensor_name = os.environ.get("CENSUS_SENSOR", "stereo")
+    sensor = {"stereo": Sensor.STEREO, "mono": Sensor.MONOCULAR,
+              "rgbd": Sensor.RGBD}[sensor_name]
+    if sensor == Sensor.RGBD:
+        frames = [(l, scene.depth_at(T).astype(np.float32))
+                  for (l, _), T in zip(pairs, poses)]
+    elif sensor == Sensor.MONOCULAR:
+        frames = [(l,) for l, _ in pairs]
+    else:
+        frames = pairs
+
+    s = System(settings, sensor, vocabulary=voc, scheduler="async")
+    track = {Sensor.STEREO: s.track_stereo,
+             Sensor.MONOCULAR: s.track_monocular,
+             Sensor.RGBD: s.track_rgbd}[sensor]
     if os.environ.get("CENSUS_PRECOMPILE", "0") == "1":
         t0 = time.perf_counter()
         s.precompile()
@@ -107,17 +123,17 @@ def main():
     frame_spans = []          # (t0, t1)
     period = 1.0 / settings.fps
     t_next = time.perf_counter()
-    for i, (left, right) in enumerate(pairs):
+    for i, frame in enumerate(frames):
         now = time.perf_counter()
         if now < t_next:
             time.sleep(t_next - now)
         t_next = max(t_next + period, time.perf_counter())
         t0 = time.perf_counter()
-        s.track_stereo(left, right, i * 0.1)
+        track(*frame, i * 0.1)
         t1 = time.perf_counter()
         frame_spans.append((t0, t1))
-        if i + 1 < len(pairs):
-            s.prefetch(*pairs[i + 1])
+        if i + 1 < len(frames):
+            s.prefetch(*frames[i + 1])
     # drain
     t_drain = time.perf_counter()
     while time.perf_counter() - t_drain < 30.0:

@@ -5,6 +5,8 @@ The reference has no test suite (SURVEY §4); these are the
 survey prescribes: synchronous scheduler, synthetic plane scene with
 exact ground truth."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -121,6 +123,28 @@ class TestRGBDPipeline:
         assert err < 0.06
         # RGB-D steady frames ride the fused fast step (one dispatch)
         assert sys_.tracker.timers.counts.get("fast_step", 0) >= 2
+
+    def test_rgbd_pipelined_tracks(self):
+        """RGB-D rides the pipelined chain step too (r5: parity with
+        mono/stereo — the depth image flows through the chained kernel's
+        img_r slot, ref Frame.cc ComputeStereoFromRGBD semantics)."""
+        settings = make_settings()
+        settings.pipelined = True
+        poses = straight_trajectory(10, step=0.03, yaw_step=0.002)
+        scene = PlaneScene(settings.K, H, W)
+        sys_ = System(settings, Sensor.RGBD)
+        for i, T in enumerate(poses):
+            sys_.track_rgbd(scene.render(T), scene.depth_at(T), i * 0.1)
+        # drain in-flight chain results for the authoritative poses
+        t0 = time.time()
+        while sys_.tracker._pending and time.time() - t0 < 30:
+            sys_.poll()
+            time.sleep(0.01)
+        assert sys_.tracker.state.name == "OK"
+        assert sys_.tracker.timers.counts.get("pipelined_step", 0) >= 2
+        Te = sys_.tracker.last_frame.Tcw
+        err = np.linalg.norm(center_of(Te) - center_of(poses[-1]))
+        assert err < 0.08, err
 
     def test_rgbd_fast_path_matches_modular(self):
         """The fused RGB-D step (depth sampled in-graph) must land on the
@@ -747,3 +771,19 @@ class TestGateParamsDerivation:
                 _, reject = drift_gate(1.0, th, n_vis, n_vis,
                                        drot_deg=drot, params=p)
                 assert reject, (trial, drot)
+
+    def test_loop_correction_jump_with_decisive_support_passes(self):
+        # r5 measured: a loop correction moved the map while a frame was
+        # in flight; the solve followed it (innov 305.5 px, 636 inliers
+        # on ~700 visible).  With map_moved, decisive support must
+        # override the plausibility caps — rejecting cost a LOST at the
+        # revisit.
+        from orb_slam2_tpu.slam.tracking import drift_gate
+        TH = 7.0
+        soft, reject = drift_gate(305.5, TH, inl1=636.0,
+                                  n_vis=700.0, map_moved=True)
+        assert soft and not reject
+        # the same solve WITHOUT the map move is an implausible jump
+        _, reject = drift_gate(305.5, TH, inl1=636.0, n_vis=700.0,
+                               map_moved=False)
+        assert reject
