@@ -8,23 +8,26 @@ the rebuild's north star is >30 FPS on one TPU chip (BASELINE.json).
 vs_baseline is measured FPS / 30 (the north-star target, not the
 easier 10 fps dataset rate).
 
-Round-4 shape (VERDICT r3 #1/#2/#5):
-  * System.precompile() replaces the warmup passes: every shape-bucketed
-    XLA program is compiled BEFORE the first frame, so no multi-second
-    cold compile can land inside a pass (r03's timed window had a 22.2 s
-    frame) and every pass — there are no throwaway passes — runs healthy.
-  * TWO timed passes on the same warm process: an UNPIPELINED pass whose
-    per-call time is the latency to a solved pose (the reference's
-    median-tracking-time metric, stereo_kitti.cc:114-122), and a
-    PIPELINED pass (the headline fps) that additionally reports
-    pose_latency_p50/p90 — the wall time from frame arrival to its
-    authoritative pose landing on host (drained via System.poll while
-    pacing, so latency is tunnel-bound, not frame-period-bound).
-  * The pipelined pass KIDNAPS the camera (5 black frames mid-circuit):
-    tracking must go LOST and recover via BoW relocalization at speed —
-    relocalizations >= 1 is asserted in the output, exercising the
-    recovery path the reference treats as first-class
-    (src/Tracking.cc:1342-1503).
+Round-5 shape (VERDICT r4 #1/#4/#6):
+  * System.precompile() compiles every shape-bucketed XLA program BEFORE
+    the first frame, so no multi-second cold compile can land inside a
+    pass (r03's timed window had a 22.2 s frame).
+  * FIVE timed passes on the same warm process:
+      1. UNPIPELINED stereo — per-call time IS the latency to a solved
+         pose (the reference's median-tracking-time metric,
+         stereo_kitti.cc:114-122); must close the circuit's loop.
+      2. PIPELINED stereo — the headline fps + pose_latency_p50/p90
+         (wall time from frame arrival to its authoritative pose landing
+         on host, drained via System.poll while pacing); must close the
+         loop.
+      3. PIPELINED + KIDNAP — 5 black frames mid-circuit: tracking must
+         go LOST and recover via BoW relocalization at speed
+         (src/Tracking.cc:1342-1503).  No loop expected: the reloc
+         re-anchors INTO the old map, making the revisit covisible.
+      4. MONO and 5. RGB-D — same circuit through the other two sensor
+         pipelines (VERDICT r4 #6; TUM dataset rates are the bar).
+  * Health per pass (`degraded_passes`): final state OK, >=3 keyframes,
+    no resets, the loop closed (non-kidnap passes), reloc >= 1 (kidnap).
 
 The circuit itself (240 frames, 1.5 orbits, one loop closure inside the
 window) is unchanged from round 3; keyframe-dense stretches, loop
@@ -75,12 +78,12 @@ def main():
     settings.pipelined = True
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "240"))
-    # camera kidnap window: 5 black frames starting here (pipelined pass
-    # only).  Placed early — after the map is established (>5 keyframes,
-    # so the lost-near-init auto-reset cannot fire) but well before the
-    # loop revisit: a kidnap right before the revisit degrades the map
-    # enough to cost the loop closure (measured loops_closed 1 -> 0 with
-    # the window at frame 110 of 240).
+    # camera kidnap window: 5 black frames starting here (dedicated
+    # kidnap pass).  Placed after the map is established (>5 keyframes,
+    # so the lost-near-init auto-reset cannot fire); the blackout
+    # strands the camera in unmapped territory, so the pass stays LOST
+    # until the view re-overlaps the map and relocalization re-anchors
+    # it INTO the old map (see run_once's health note).
     kidnap_at = int(os.environ.get("BENCH_KIDNAP_AT",
                                    str(min(60, n_frames // 3))))
     kidnap_len = 5
@@ -93,14 +96,20 @@ def main():
     pairs = [(scene.render(T), scene.render(Trl @ T)) for T in poses]
     black = np.zeros((H, W), np.uint8)
 
-    # tiny BoW vocabulary so loop closing + relocalization run (the full
-    # ORBvoc.txt is not in the image)
-    probe = circle_trajectory(10, orbit_r=3.0, total_angle=2 * np.pi)
+    # BoW vocabulary so loop closing + relocalization run (the full
+    # ORBvoc.txt is not in the image).  30 views x 2000 descriptors,
+    # k=10 L=4: the r5 10-view/L=3 vocab produced BoW scores so noisy
+    # that loop candidates appeared only on alternating keyframes and
+    # the 3-consecutive consistency vote (which resets on an empty
+    # candidate set, exactly like LoopClosing.cc:149-157) never held —
+    # loop closure was a coin flip between runs
+    probe = circle_trajectory(30, orbit_r=3.0, total_angle=2 * np.pi)
     descs = []
     for T in probe:
-        f = frontend.extract(jnp.asarray(scene.render(T)), n_features=800)
+        f = frontend.extract(jnp.asarray(scene.render(T)),
+                             n_features=2000)
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-    voc = Vocabulary.train(np.concatenate(descs), k=10, L=3, levels_up=1)
+    voc = Vocabulary.train(np.concatenate(descs), k=10, L=4, levels_up=1)
 
     def run_once(pipelined: bool, kidnap: bool, sensor=None,
                  frames=None, precompiled_system=None):

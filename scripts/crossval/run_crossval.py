@@ -82,12 +82,16 @@ def render_sequence():
 
 
 def train_vocab(scene, poses):
+    # dense training set + L=4: a 10-view/L=3 vocab gives BoW scores so
+    # noisy that loop detection is a coin flip for BOTH systems (r5
+    # measured: the reference closed its loop in one run and not the
+    # next on the same frames)
     descs = []
-    for T in poses[::12]:
+    for T in poses[::4]:
         f = frontend.extract(jnp.asarray(scene.render(T)),
                              n_features=N_FEAT)
         descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
-    voc = Vocabulary.train(np.concatenate(descs), k=10, L=3, levels_up=1)
+    voc = Vocabulary.train(np.concatenate(descs), k=10, L=4, levels_up=1)
     voc.save_text(f"{WORK}/voc.txt")
     return voc
 
