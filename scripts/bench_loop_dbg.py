@@ -9,6 +9,7 @@ warm compile cache (bench.py first) so the pass itself is fast.
 Env:
   BENCH_KIDNAP=0     disable the kidnap (isolate kidnap vs pipelining)
   BENCH_PIPELINED=0  unpipelined pass (the control)
+  BENCH_SENSOR=mono|rgbd|stereo   which sensor pipeline to drive
 """
 import sys, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -55,7 +56,9 @@ for T in probe:
     descs.append(np.asarray(f.desc)[np.asarray(f.valid)])
 voc = Vocabulary.train(np.concatenate(descs), k=10, L=3, levels_up=1)
 
-s = System(settings, Sensor.STEREO, vocabulary=voc, scheduler="async")
+sensor = {"stereo": Sensor.STEREO, "mono": Sensor.MONOCULAR,
+          "rgbd": Sensor.RGBD}[os.environ.get("BENCH_SENSOR", "stereo")]
+s = System(settings, sensor, vocabulary=voc, scheduler="async")
 s.precompile()
 print("precompiled", flush=True)
 
@@ -81,7 +84,12 @@ for i, (left, right) in enumerate(pairs):
     t_next = max(t_next + period, time.perf_counter())
     if kidnap and kidnap_at <= i < kidnap_at + kidnap_len:
         left = right = black
-    s.track_stereo(left, right, i * 0.1)
+    if sensor == Sensor.MONOCULAR:
+        s.track_monocular(left, i * 0.1)
+    elif sensor == Sensor.RGBD:
+        s.track_rgbd(left, right, i * 0.1)
+    else:
+        s.track_stereo(left, right, i * 0.1)
     if i + 1 < len(pairs):
         s.prefetch(*pairs[i + 1])
 
@@ -98,6 +106,17 @@ print("state:", s.tracker.state.name,
       "loops:", lc.loops_closed,
       "relocs:", s.tracker.relocalizations,
       "resets:", s.tracker.resets, flush=True)
+
+tt = s.tracker.timers
+for k in sorted(tt.totals, key=lambda k: -tt.totals[k]):
+    print(f"[timer] {k:28s} n={tt.counts[k]:4d} "
+          f"total={tt.totals[k]*1e3:8.1f}ms "
+          f"mean={tt.totals[k]/max(tt.counts[k],1)*1e3:6.1f}ms",
+      flush=True)
+lm_t = s.local_mapper.timers
+for k in sorted(lm_t.totals, key=lambda k: -lm_t.totals[k])[:8]:
+    print(f"[lmtimer] {k:26s} n={lm_t.counts[k]:4d} "
+          f"total={lm_t.totals[k]*1e3:8.1f}ms", flush=True)
 
 # per-KF camera-center error vs ground truth: a mis-anchored post-reloc
 # segment shows up as a step change in err at the reloc frame
