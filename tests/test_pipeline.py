@@ -636,9 +636,12 @@ class TestDriftGate:
         _, reject = drift_gate(631.5, self.TH, inl1=112.0, n_vis=175.0,
                                drot_deg=0.0)
         assert reject  # 20-window innovation cap alone
-        _, reject = drift_gate(60.0, self.TH, inl1=400.0, n_vis=500.0,
+        # rotation cap alone — support below the DECISIVE bar (2x
+        # strong floor) so the cap applies (r5: decisive solves
+        # override the caps, see drift_gate docstring)
+        _, reject = drift_gate(60.0, self.TH, inl1=150.0, n_vis=500.0,
                                drot_deg=24.2)
-        assert reject  # 15-degree rotation cap alone
+        assert reject
 
     def test_map_moved_in_flight_keeps_plausible_solve(self):
         # measured (debug probe f180): local BA + fusion at the revisit
@@ -749,11 +752,14 @@ class TestGateParamsDerivation:
                 _, reject = drift_gate(innov, th, inl, n_vis, params=p)
                 assert not reject, (trial, innov, inl, n_vis)
 
-                # DIVERGENCE: implausible correction (no honest match
-                # set can produce it) must reject regardless of support
+                # DIVERGENCE: implausible correction with sub-DECISIVE
+                # support must reject (decisive solves override the
+                # caps by design — the reference accepts any >=30-
+                # inlier solve, Tracking.cc:968)
                 innov = float(rng.uniform(p.implausible_w * th * 1.01,
                                           p.implausible_w * th * 30))
-                inl = float(n_vis)
+                inl = float(min(2.0 * p.strong_floor - 1,
+                                p.weak_frac * n_vis))
                 _, reject = drift_gate(innov, th, inl, n_vis, params=p)
                 assert reject, (trial, innov, inl, n_vis)
 
@@ -766,9 +772,11 @@ class TestGateParamsDerivation:
                 assert reject, (trial, innov, inl, n_vis)
 
                 # DIVERGENCE: rotation beyond any physical pan for this
-                # regime must reject even with full support
+                # regime must reject at sub-decisive support
                 drot = float(p.rot_cap_deg * rng.uniform(1.05, 3.0))
-                _, reject = drift_gate(1.0, th, n_vis, n_vis,
+                inl = float(min(2.0 * p.strong_floor - 1,
+                                p.weak_frac * n_vis))
+                _, reject = drift_gate(1.0, th, inl, n_vis,
                                        drot_deg=drot, params=p)
                 assert reject, (trial, drot)
 
@@ -783,7 +791,13 @@ class TestGateParamsDerivation:
         soft, reject = drift_gate(305.5, TH, inl1=636.0,
                                   n_vis=700.0, map_moved=True)
         assert soft and not reject
-        # the same solve WITHOUT the map move is an implausible jump
-        _, reject = drift_gate(305.5, TH, inl1=636.0, n_vis=700.0,
+        # DECISIVE support also overrides the caps without a map move:
+        # the first revisit solve corrects a full orbit of accumulated
+        # drift (r5 measured: 154.7 px on 574 inliers, map unmoved)
+        soft, reject = drift_gate(154.7, TH, inl1=574.0, n_vis=900.0,
+                                  map_moved=False)
+        assert soft and not reject
+        # ... but the same innovation with sub-decisive support rejects
+        _, reject = drift_gate(305.5, TH, inl1=150.0, n_vis=700.0,
                                map_moved=False)
         assert reject
