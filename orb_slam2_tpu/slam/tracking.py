@@ -165,27 +165,28 @@ def drift_gate(innov_px_: float, th_mm: float, inl1: float,
     p = params
     weak = inl1 < max(p.weak_floor, p.weak_frac * n_vis)
     strong = inl1 >= max(p.strong_floor, p.strong_frac * n_vis)
+    # DECISIVE: 2x the strong floor AND the strong fraction.  A solve
+    # with that support is accepted even past the plausibility caps —
+    # the reference itself has no such caps (it never extrapolates
+    # blind; any >=30-inlier pose-opt result is accepted,
+    # Tracking.cc:968), so the caps exist only to police the pipelined
+    # chain's window-biased matching, and a decisive match set cannot
+    # be window aliasing (measured aliased incidents peaked at 112/175
+    # and 96/133 — far below 2x floor).  Measured r5 incidents that
+    # decisive acceptance fixes: a loop correction landing as a 305 px
+    # innovation on 636 inliers (map_moved), and the first revisit
+    # solve correcting a full orbit of accumulated drift — 154.7 px on
+    # 574 inliers with the map NOT moved.
+    decisive = (inl1 >= 2.0 * p.strong_floor
+                and inl1 >= p.strong_frac * n_vis)
     soft = innov_px_ > p.soft_w * th_mm
     implausible = (innov_px_ > p.implausible_w * th_mm
-                   or drot_deg > p.rot_cap_deg)
+                   or drot_deg > p.rot_cap_deg) and not decisive
     reject = (innov_px_ > p.weak_w * th_mm and weak) or (
         innov_px_ > p.nonstrong_w * th_mm and not strong) or implausible
-    if map_moved and reject:
-        # loosen only: the solve followed the moved map.  A LOOP
-        # CORRECTION or GBA writeback can legitimately move the map far
-        # beyond the plausibility caps (r5 measured: a loop correction
-        # landed as a 305 px innovation on a solve holding 636 inliers —
-        # the caps, written for blind-extrapolation error, rejected a
-        # perfectly-anchored solve and cost a LOST at the revisit).
-        # With map_moved, a DECISIVE solve (2x the strong floor AND the
-        # strong fraction — the measured marginal-aliased 112/175 stays
-        # below it, the 636-inlier loop-correction solve far above)
-        # overrides even the caps; a merely-plausible solve still needs
-        # the moved floor.
-        decisive = (inl1 >= 2.0 * p.strong_floor
-                    and inl1 >= p.strong_frac * n_vis)
-        if decisive or (not implausible and inl1 >= p.moved_floor):
-            reject = False
+    if map_moved and reject and not implausible \
+            and inl1 >= p.moved_floor:
+        reject = False   # loosen only: the solve followed the moved map
     return soft, reject
 
 

@@ -15,6 +15,7 @@ them to a worker thread with the same queue semantics.
 
 from __future__ import annotations
 
+import dataclasses
 import threading
 from typing import Optional
 
@@ -40,6 +41,19 @@ class System:
     ):
         if isinstance(settings, str):
             settings = Settings.from_yaml(settings)
+        if sensor == Sensor.MONOCULAR:
+            # mono local maps outgrow the stereo-tuned candidate block:
+            # the init-boosted 2x feature budget triangulates 3k+ live
+            # points into a tracking neighborhood, and a point past the
+            # cap can never be bound, fails MapPointCulling's
+            # >=3-observation rule, and churns (r5 measured on the mono
+            # bench circuit: 7,938 of ~11k created points culled, bound
+            # count decaying ~8%/frame between chain anchors — the
+            # reference caps nothing in SearchLocalPoints).  Double the
+            # block on a per-System COPY so co-resident stereo/RGB-D
+            # systems keep their compiled shapes.
+            settings = dataclasses.replace(settings)
+            settings.bucket_local *= 2
         self.settings = settings
         self.sensor = sensor
         self.vocabulary = vocabulary

@@ -58,9 +58,44 @@ voc = Vocabulary.train(np.concatenate(descs), k=10, L=3, levels_up=1)
 
 sensor = {"stereo": Sensor.STEREO, "mono": Sensor.MONOCULAR,
           "rgbd": Sensor.RGBD}[os.environ.get("BENCH_SENSOR", "stereo")]
+if sensor == Sensor.MONOCULAR:
+    # mirror bench.py's mono pass: same loop at half the angular rate
+    poses = circle_trajectory(2 * n_frames, orbit_r=3.0,
+                              total_angle=2 * np.pi * 1.5)
+    pairs = [(scene.render(T), None) for T in poses]
 s = System(settings, sensor, vocabulary=voc, scheduler="async")
 s.precompile()
 print("precompiled", flush=True)
+
+# count point-culling churn (mono starvation-spiral hypothesis)
+_cull_n = [0]
+_orig_bad = s.map.set_point_bad
+def _bad_counted(pid):
+    _cull_n[0] += 1
+    return _orig_bad(pid)
+s.map.set_point_bad = _bad_counted
+
+# cull-reason breakdown per mapper pass
+_orig_cull = s.local_mapper._cull_map_points
+def _cull_logged(kf):
+    store = s.local_mapper.store
+    pids = np.asarray(s.local_mapper.recent_points, np.int64)
+    if len(pids):
+        pids = pids[store.pt_valid[pids]]
+    if len(pids):
+        age = kf - store.pt_first_kf[pids]
+        ratio = (store.pt_found[pids]
+                 / np.maximum(store.pt_visible[pids], 1.0))
+        bad_r = ratio < 0.25
+        bad_o = (age >= 2) & (store.pt_n_obs[pids] <= 2)
+        print(f"[cull] kf={kf} recent={len(pids)} "
+              f"bad_ratio={int(bad_r.sum())} "
+              f"bad_obs_only={int((bad_o & ~bad_r).sum())} "
+              f"med_vis={float(np.median(store.pt_visible[pids])):.1f} "
+              f"med_found={float(np.median(store.pt_found[pids])):.1f}",
+              flush=True)
+    return _orig_cull(kf)
+s.local_mapper._cull_map_points = _cull_logged
 
 # wrap the loop closer's detection so every processed KF logs its verdict
 lc = s.loop_closer
@@ -105,7 +140,9 @@ print("state:", s.tracker.state.name,
       "kfs:", int(s.map.kf_valid.sum()),
       "loops:", lc.loops_closed,
       "relocs:", s.tracker.relocalizations,
-      "resets:", s.tracker.resets, flush=True)
+      "resets:", s.tracker.resets,
+      "culled:", _cull_n[0],
+      "pts:", int(s.map.pt_valid.sum()), flush=True)
 
 tt = s.tracker.timers
 for k in sorted(tt.totals, key=lambda k: -tt.totals[k]):
