@@ -15,7 +15,7 @@ them to a worker thread with the same queue semantics.
 
 from __future__ import annotations
 
-import dataclasses
+import copy
 import threading
 from typing import Optional
 
@@ -51,9 +51,26 @@ class System:
             # count decaying ~8%/frame between chain anchors — the
             # reference caps nothing in SearchLocalPoints).  Double the
             # block on a per-System COPY so co-resident stereo/RGB-D
-            # systems keep their compiled shapes.
-            settings = dataclasses.replace(settings)
+            # systems keep their compiled shapes.  copy.copy, NOT
+            # dataclasses.replace: replace() rebuilds from fields only
+            # and silently drops dynamically-set attributes (measured:
+            # a caller's settings.pipelined=True vanished, demoting the
+            # bench mono pass to the synchronous fast path).
+            settings = copy.copy(settings)
             settings.bucket_local *= 2
+            # Mono always re-anchors from host state every frame (the
+            # fused fast path) instead of the pipelined velocity-chain:
+            # without per-frame depth, chain extrapolation between
+            # anchors compounds into scale drift that no drift gate can
+            # see (r5 measured on the full 480-frame bench circuit:
+            # chain path map radial error p50 1.4-2.7 m with scale
+            # drifting 6.8->7.3, vs 0.02 m and stable scale on the fast
+            # path — a 10-20x map-quality gap for the same frames).  The
+            # reference tracks mono synchronously for the same reason
+            # (TrackWithMotionModel re-anchors on mLastFrame every
+            # frame, src/Tracking.cc:853-899).
+            if getattr(settings, "pipelined", False):
+                settings.pipelined = False
         self.settings = settings
         self.sensor = sensor
         self.vocabulary = vocabulary
