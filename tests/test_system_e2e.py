@@ -81,7 +81,11 @@ def run_circuit(settings, scene, voc, n_frames, total_angle, disable_loop):
 
 
 class TestLoopClosing:
+    @pytest.mark.slow
     def test_loop_closes_and_improves_ate(self, cylinder_world):
+        # two full sync circuits (~227 s CPU) — slow tier; the default
+        # suite keeps loop-closing covered via TestLoopClosureAtScale
+        # and the verify drive (scripts/loop_ate.py) runs it end-to-end
         settings, scene, voc = cylinder_world
         n, ang = 80, 2 * np.pi * 1.25
         sys_on, poses = run_circuit(settings, scene, voc, n, ang,
@@ -258,7 +262,11 @@ class TestGlobalBA:
 
 
 class TestMonocular:
+    @pytest.mark.slow
     def test_mono_end_to_end(self):
+        # ~120 s CPU (mono-init compile dominated) — slow tier with the
+        # mono circuit test; default suite keeps mono init covered via
+        # the initializer RANSAC units (test_solvers)
         settings = make_settings(n_features=800, fps=10.0, th_depth=40.0)
         scene = PlaneScene(settings.K, H, W)
         # enough sideways translation for H/F initialization parallax
