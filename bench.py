@@ -297,6 +297,10 @@ def main():
     # plumbing + store shapes — each precompiles its own System
     # (persistent cache makes reruns cheap).
     #
+    # The mono System demotes pipelined=True to the per-frame
+    # re-anchoring fast path internally (see System.__init__: the
+    # velocity-chain path compounds mono scale drift — measured 10-20x
+    # map-quality gap), so mono_fps is a SYNCHRONOUS per-call rate.
     # The mono pass rides the same 1.5-orbit loop at HALF the angular
     # rate (2x the frames): the stereo circuit's 2.25 deg/frame is a
     # ~28 px/frame rotational flow — mono tracking (ours AND the
