@@ -269,6 +269,14 @@ def main():
             return 0.0, 0.0, 0.0
         return (xs[len(xs) // 2], xs[int(len(xs) * 0.9)], xs[-1])
 
+    def worst_at(xs, skip=3):
+        """Frame index of the worst per-call time (stall attribution:
+        a worst frame at the kidnap/revisit is SLAM work, one at a
+        random index is a tunnel stall or compile)."""
+        if len(xs) <= skip:
+            return -1
+        return int(max(range(skip, len(xs)), key=lambda i: xs[i]))
+
     # compile every shape bucket BEFORE any timed frame (VERDICT r3 #1:
     # replaces the two warmup passes — there are no throwaway passes)
     t0 = time.perf_counter()
@@ -357,6 +365,8 @@ def main():
         "fps_unpipelined": round(1.0 / p50_u, 2),
         "unpipelined_p90_ms": round(p90_u * 1e3, 1),
         "unpipelined_worst_ms": round(worst_u * 1e3, 1),
+        "worst_frame_idx": worst_at(times_p),
+        "unpipelined_worst_frame_idx": worst_at(times_u),
         "precompile_s": precompile_s,
         "n_frames": n_frames,
         "degraded_passes": degraded,

@@ -170,6 +170,31 @@ class TestRGBDPipeline:
             assert d < 0.02, d
 
 
+class TestMonoSystemSettings:
+    def test_mono_copy_doubles_bucket_and_demotes_pipelined(self):
+        """System(MONOCULAR) works on a per-System settings COPY: the
+        local candidate block doubles (revisit windows hold old+new
+        points; the stereo-sized cap truncated half of it — the r5
+        bench LOST cluster at frames 294-317), pipelined demotes to the
+        re-anchoring fast path (measured 10-20x map-quality gap on the
+        chain), and the CALLER's settings object — including
+        dynamically-set attributes — is untouched."""
+        settings = make_settings()
+        settings.pipelined = True
+        base_bucket = settings.bucket_local
+        sys_ = System(settings, Sensor.MONOCULAR)
+        assert sys_.settings.bucket_local == 2 * base_bucket
+        assert sys_.settings.pipelined is False
+        # caller's object untouched (co-resident stereo systems keep
+        # their compiled shapes)
+        assert settings.bucket_local == base_bucket
+        assert settings.pipelined is True
+        # stereo/RGB-D share the caller's settings unmodified
+        sys_st = System(settings, Sensor.STEREO)
+        assert sys_st.settings.bucket_local == base_bucket
+        assert sys_st.settings.pipelined is True
+
+
 class TestLocalizationMode:
     def test_localization_tracks_without_new_keyframes(self):
         """ref: System::ActivateLocalizationMode (src/System.cc:126-135) +
