@@ -133,11 +133,25 @@ def main():
         if len(est) < 3:
             return float("inf")
         if mono_scale:
-            ne = np.linalg.norm(est, axis=1)
-            ng = np.linalg.norm(gt, axis=1)
+            # full similarity (Umeyama) alignment, the standard mono ATE
+            # protocol (TUM rgbd-benchmark evaluate_ate.py): the mono map
+            # frame is anchored at the INIT frame (first KF = identity,
+            # ref Tracking::MonocularInitialization), which sits a rigid
+            # transform away from gt_poses[0] — scale-only alignment
+            # penalizes that anchor offset, not map quality.
+            me, mg = est.mean(0), gt.mean(0)
+            ec, gc = est - me, gt - mg
+            ne = np.linalg.norm(ec, axis=1)
             keep = ne > 1e-6
             if keep.sum() >= 3:
-                est = est * np.median(ng[keep] / ne[keep])
+                U, _, Vt = np.linalg.svd(ec.T @ gc)
+                Ra = (U @ Vt).T
+                if np.linalg.det(Ra) < 0:
+                    U[:, -1] *= -1
+                    Ra = (U @ Vt).T
+                sc = np.median(np.linalg.norm(gc[keep], axis=1) / ne[keep])
+                est = (ec @ Ra.T) * sc + mg
+                gt = gc + mg
         return float(np.sqrt(((est - gt) ** 2).sum(1).mean()))
 
     def run_once(pipelined: bool, kidnap: bool, sensor=None,

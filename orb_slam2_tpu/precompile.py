@@ -421,12 +421,17 @@ def precompile(system, stages: Optional[List[str]] = None,
         )
 
     def _local_ba():
-        prob = _ba_problem(K, P, E)
-        for second in (True, False):
-            out = ba.local_ba_chain(prob, fx, fy, cx, cy, bf,
-                                    iters1=5, iters2=10, mode="dense",
-                                    second_round=second)
-            _block(out[0])
+        # pin + the first growth rung: at reference keyframe density the
+        # local window's points cross the P bucket and K crosses the pin
+        # (JAX_LOG_COMPILES at forced density: local_ba_chain compiled
+        # mid-run at (2K, 2P, 2E) — same GIL stall as the GBA rungs)
+        for Kl, Pl, El in ((K, P, E), (2 * K, 2 * P, 2 * E)):
+            prob = _ba_problem(Kl, Pl, El)
+            for second in (True, False):
+                out = ba.local_ba_chain(prob, fx, fy, cx, cy, bf,
+                                        iters1=5, iters2=10, mode="dense",
+                                        second_round=second)
+                _block(out[0])
 
     add("mapping", "local_ba_chain", _local_ba)
 
@@ -586,19 +591,30 @@ def precompile(system, stages: Optional[List[str]] = None,
     # global BA (background thread; chunked LM + outlier pass)
     # ------------------------------------------------------------------
     def _gba():
-        # GBA packs ALL keyframes; its K bucket outgrows the local-BA pin
-        # as the map grows.  Precompile the first growth step (2K) — the
-        # later, larger shapes compile on the GBA thread, which never
-        # holds store.lock during the solve.
-        prob = _ba_problem(2 * K, P, E)
-        cam_T, pts, _ = ba.optimize(prob, fx, fy, cx, cy, bf,
-                                    iters=5, use_kernel=True, mode="dense")
-        _block(cam_T)
-        bad = ba.classify_outliers(prob, fx, fy, cx, cy, bf)
-        _block(bad)
-        # the eager outlier-mask update between GBA passes
-        # (global_ba.py: prob.edge_mask & ~bad)
-        _block(prob.edge_mask & ~bad)
+        # GBA packs ALL keyframes; its buckets outgrow the local-BA pins
+        # as the map grows, and a first-encounter shape compiles ON THE
+        # GBA THREAD mid-run — which, on a single-core host, stalls the
+        # tracker through the GIL for the whole trace+compile (measured:
+        # an 11.5 s worst frame in the unpipelined bench pass, and
+        # 11.4 s at forced keyframe density, both attributed via
+        # JAX_LOG_COMPILES to jit(optimize) at an unwarmed rung).  Warm
+        # the growth rungs real regimes reach: points cross the P bucket
+        # by ~15 keyframes (before the first loop), K crosses 2K around
+        # 32 keyframes (soak), and forced reference density doubles both
+        # again.  Rungs match the StickyBuckets pow2 ladder in
+        # global_ba.py.
+        for Kg, Pg, Eg in ((2 * K, P, E), (2 * K, 2 * P, 2 * E),
+                           (4 * K, 2 * P, 2 * E), (4 * K, 4 * P, 4 * E)):
+            prob = _ba_problem(Kg, Pg, Eg)
+            cam_T, pts, _ = ba.optimize(prob, fx, fy, cx, cy, bf,
+                                        iters=5, use_kernel=True,
+                                        mode="dense")
+            _block(cam_T)
+            bad = ba.classify_outliers(prob, fx, fy, cx, cy, bf)
+            _block(bad)
+            # the eager outlier-mask update between GBA passes
+            # (global_ba.py: prob.edge_mask & ~bad)
+            _block(prob.edge_mask & ~bad)
 
     add("gba", "global_ba", _gba)
 

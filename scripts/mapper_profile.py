@@ -68,8 +68,17 @@ def main():
     s.precompile()
     print(f"precompile: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    # force reference keyframe density: c1a fires every kf_every frames
+    # force reference keyframe density.  max_frames=kf_every only arms
+    # condition c1a — c2 (tracked-vs-reference ratio) still suppresses
+    # on a well-tracked synthetic circuit (measured: 15 KFs over 160
+    # frames with kf_every=4).  --hard bypasses the policy entirely so
+    # the mapper sees a GUARANTEED KF every kf_every frames — the
+    # keep-up stress the reference's densest KITTI-00 stretches apply.
     s.tracker.max_frames = kf_every
+    if "--hard" in sys.argv:
+        tr = s.tracker
+        tr._need_new_keyframe = (
+            lambda: tr.current.frame_id >= tr.last_kf_frame_id + kf_every)
 
     period = 1.0 / settings.fps
     t_next = time.perf_counter()
