@@ -425,7 +425,10 @@ def precompile(system, stages: Optional[List[str]] = None,
         # local window's points cross the P bucket and K crosses the pin
         # (JAX_LOG_COMPILES at forced density: local_ba_chain compiled
         # mid-run at (2K, 2P, 2E) — same GIL stall as the GBA rungs)
-        for Kl, Pl, El in ((K, P, E), (2 * K, 2 * P, 2 * E)):
+        # dims grow independently here too (shared mapper StickyBuckets):
+        # the E bucket lags P when points double at ~2.4 obs/point
+        for Kl, Pl, El in ((K, P, E), (K, 2 * P, E),
+                           (2 * K, 2 * P, E), (2 * K, 2 * P, 2 * E)):
             prob = _ba_problem(Kl, Pl, El)
             for second in (True, False):
                 out = ba.local_ba_chain(prob, fx, fy, cx, cy, bf,
@@ -603,8 +606,25 @@ def precompile(system, stages: Optional[List[str]] = None,
         # 32 keyframes (soak), and forced reference density doubles both
         # again.  Rungs match the StickyBuckets pow2 ladder in
         # global_ba.py.
-        for Kg, Pg, Eg in ((2 * K, P, E), (2 * K, 2 * P, 2 * E),
-                           (4 * K, 2 * P, 2 * E), (4 * K, 4 * P, 4 * E)):
+        # The three dims grow INDEPENDENTLY (StickyBuckets): measured
+        # real shapes include (32, 8192, 16384) — P doubled while E did
+        # not (edges/point ~2.4, so the E bucket lags P's) — which a
+        # jointly-scaled ladder misses.  Warm the reachable lattice:
+        # K in {2K, 4K} (dense mode caps at 64 cams, global_ba.py
+        # _snapshot), P in {P, 2P, 4P}, E/P in {2, 4} (every point
+        # carries 2-4 observations in practice; E below 2P needs
+        # majority single-observation points, which MapPointCulling
+        # removes).
+        rungs = []
+        for Kg in (2 * K, 4 * K):
+            for Pg in (P, 2 * P, 4 * P):
+                for Eg in (2 * Pg, 4 * Pg):
+                    # E's sticky minimum is the configured edge bucket —
+                    # shapes below it are unreachable
+                    Eg = max(Eg, E)
+                    if (Kg, Pg, Eg) not in rungs:
+                        rungs.append((Kg, Pg, Eg))
+        for Kg, Pg, Eg in rungs:
             prob = _ba_problem(Kg, Pg, Eg)
             cam_T, pts, _ = ba.optimize(prob, fx, fy, cx, cy, bf,
                                         iters=5, use_kernel=True,
